@@ -1,0 +1,137 @@
+"""Graph convolution layers.
+
+``GraphConv`` re-implements the computation of the reference layer
+(reference ``models.py:9-80``): ``y = (A @ x) @ W [+ x @ W_self] [+ b]``
+with optional L2 embedding normalization and optional GAT-style
+multiplicative attention ``A <- A * (x W_a)(x W_a)^T``
+(reference ``models.py:62-68``).
+
+TPU-native twist: the layer is representation-polymorphic.  The adjacency
+argument is either
+
+* a dense ``[..., N, N]`` array (MXU path for small batched graphs, and
+  the oracle for parity tests), or
+* a :class:`SparseAdj` padded COO edge list, in which case aggregation is
+  gather + ``segment_sum`` (XLA) or the Pallas block-sparse kernel, and
+  attention is an SDDMM evaluated only on edge support.
+
+Parameters are identical across representations, so a model trained on the
+sparse path can be evaluated on the dense oracle and vice versa.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpugraph.nn.initializers import xavier_relu_uniform
+from tpugraph.ops.message import spmm, sddmm
+from tpugraph.ops.dense import dense_spmm, dense_sddmm
+
+
+class SparseAdj(NamedTuple):
+    """Padded COO adjacency for one graph (no leading batch axis — use
+    ``vmap`` for batches).  ``weight`` must be 0 on padding edges."""
+
+    senders: jax.Array    # int32[E_pad]
+    receivers: jax.Array  # int32[E_pad]
+    weight: jax.Array     # float32[E_pad]
+
+
+Adjacency = Union[jax.Array, SparseAdj]
+
+
+class GraphConv(nn.Module):
+    """One graph convolution; returns ``(y, att)`` like the reference layer
+    so attention matrices can be logged (reference ``models.py:80``).
+
+    For the dense path ``att`` is the (masked) dense score matrix; for the
+    sparse path it is the per-edge score vector.  When ``att=False`` the
+    returned attention is just the adjacency (reference behavior: returns
+    ``adj`` unchanged)."""
+
+    input_dim: int
+    output_dim: int
+    add_self: bool = False
+    normalize_embedding: bool = False
+    dropout: float = 0.0
+    use_bias: bool = True
+    att: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Adjacency]:
+        weight = self.param(
+            "weight", xavier_relu_uniform, (self.input_dim, self.output_dim)
+        )
+        if self.add_self:
+            self_weight = self.param(
+                "self_weight", xavier_relu_uniform, (self.input_dim, self.output_dim)
+            )
+        if self.att:
+            att_weight = self.param(
+                "att_weight", xavier_relu_uniform, (self.input_dim, self.input_dim)
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.output_dim,))
+
+        if self.dropout > 0.001 and not deterministic:
+            x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
+
+        if isinstance(adj, SparseAdj):
+            if self.att:
+                x_att = jnp.matmul(x, att_weight, preferred_element_type=jnp.float32)
+                scores = sddmm(adj.senders, adj.receivers, x_att, x_att)
+                eff_weight = adj.weight * scores
+                adj_att: Adjacency = SparseAdj(adj.senders, adj.receivers, eff_weight)
+            else:
+                eff_weight = adj.weight
+                adj_att = adj
+            y = spmm(adj.senders, adj.receivers, eff_weight, x)
+        else:
+            if self.att:
+                x_att = jnp.matmul(x, att_weight, preferred_element_type=jnp.float32)
+                adj_att = adj * jnp.matmul(
+                    x_att,
+                    jnp.swapaxes(x_att, -1, -2),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                adj_att = adj
+            y = dense_spmm(adj_att, x)
+
+        y = jnp.matmul(y, weight, preferred_element_type=jnp.float32)
+        if self.add_self:
+            y = y + jnp.matmul(x, self_weight, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + bias
+        if self.normalize_embedding:
+            # F.normalize(y, p=2, dim=-1) — reference models.py:77-78.
+            # sumsq + eps keeps the sqrt gradient finite on exactly-zero
+            # rows (padded nodes), where torch's y/max(||y||, 1e-12) form
+            # would backprop NaN through ||y|| at 0.
+            sumsq = jnp.sum(y * y, axis=-1, keepdims=True)
+            y = y * jax.lax.rsqrt(sumsq + 1e-24)
+        return y, adj_att
+
+
+def fresh_batch_norm(x: jax.Array, node_axis: int = -2, eps: float = 1e-5) -> jax.Array:
+    """Stateless per-node batch normalization.
+
+    The reference constructs a *fresh, untrained* ``nn.BatchNorm1d(N)`` on
+    every forward call (reference ``models.py:222-228``) — i.e. affine
+    params are always (1, 0) and batch statistics are used.  For an input
+    ``[B, N, F]`` BatchNorm1d(N) normalizes each node position over the
+    (batch, feature) dims.  This function reproduces exactly that intended
+    behavior without the per-call module construction."""
+    reduce_axes = tuple(i for i in range(x.ndim) if i != node_axis % x.ndim)
+    mean = jnp.mean(x, axis=reduce_axes, keepdims=True)
+    var = jnp.var(x, axis=reduce_axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
