@@ -1,0 +1,115 @@
+"""End-to-end training tests: syn1 node classification reaches
+reference-level accuracy; checkpoints round-trip; graph classification
+trains on a toy TU-style dataset."""
+
+import numpy as np
+import jax
+import networkx as nx
+import pytest
+
+from tpugraph.cli.config import Config
+from tpugraph.cli.tasks import run_node_task, padded_features
+from tpugraph.core.graph import graph_from_networkx
+from tpugraph.data import gengraph, featgen
+from tpugraph.data.pipeline import GraphBatcher
+from tpugraph.nn import GcnEncoderNode, GcnEncoderGraph
+from tpugraph.train.checkpoint import (
+    gen_prefix,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tpugraph.train.loop import TrainConfig, train_graph_classifier, train_node_classifier
+
+
+@pytest.fixture(scope="module")
+def syn1_small():
+    G, labels, _ = gengraph.gen_syn1(
+        nb_shapes=30,
+        width_basis=120,
+        feature_generator=featgen.ConstFeatureGen(np.ones(10, np.float32)),
+        seed=7,
+    )
+    return G, labels
+
+
+def test_syn1_training_accuracy(syn1_small):
+    G, labels = syn1_small
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    model = GcnEncoderNode(
+        input_dim=10, hidden_dim=20, embedding_dim=20,
+        label_dim=max(labels) + 1, num_layers=3,
+    )
+    out = train_node_classifier(
+        model, g, feat, labels,
+        TrainConfig(num_epochs=600, scan_chunk=100), seed=1,
+    )
+    # reference-level performance on a reduced syn1 (SURVEY §6 parity target)
+    assert out["result_test"]["acc"] > 0.8, out["result_test"]
+    assert out["result_train"]["acc"] > 0.85, out["result_train"]
+
+
+def test_checkpoint_roundtrip(tmp_path, syn1_small):
+    G, labels = syn1_small
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    model = GcnEncoderNode(
+        input_dim=10, hidden_dim=8, embedding_dim=8,
+        label_dim=max(labels) + 1, num_layers=3,
+    )
+    out = train_node_classifier(
+        model, g, feat, labels, TrainConfig(num_epochs=5, scan_chunk=5), seed=0
+    )
+    cg = {
+        "adj": np.zeros((1, 4, 4), np.float32),
+        "feat": np.ones((1, 4, 10), np.float32),
+        "label": np.zeros((1, 4), np.int32),
+        "pred": out["ypred"][:, :4],
+        "train_idx": out["train_idx"],
+    }
+    prefix = gen_prefix("testds", "base", 8, 8)
+    save_checkpoint(str(tmp_path), prefix, out["params"], cg_dict=cg,
+                    meta={"task": "node"})
+    loaded = load_checkpoint(str(tmp_path), prefix, params_template=out["params"])
+    flat_a = jax.tree_util.tree_leaves(out["params"])
+    flat_b = jax.tree_util.tree_leaves(loaded["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(loaded["cg"]["pred"], cg["pred"])
+    np.testing.assert_array_equal(loaded["train_idx"], cg["train_idx"])
+
+
+def test_checkpoint_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="train a model"):
+        load_checkpoint(str(tmp_path), "nope_base_h20_o20")
+
+
+def _toy_graph_dataset(rng, n_graphs=40):
+    """Cycle vs star graphs — trivially separable by structure."""
+    graphs = []
+    for i in range(n_graphs):
+        n = int(rng.integers(6, 12))
+        G = nx.cycle_graph(n) if i % 2 == 0 else nx.star_graph(n - 1)
+        G.graph["label"] = i % 2
+        for u in G.nodes():
+            G.nodes[u]["feat"] = np.ones(4, np.float32)
+        graphs.append(G)
+    return graphs
+
+
+def test_graph_classifier_learns(rng):
+    graphs = _toy_graph_dataset(rng)
+    batcher = GraphBatcher(graphs, normalize=False, max_num_nodes=12)
+    model = GcnEncoderGraph(
+        input_dim=4, hidden_dim=16, embedding_dim=16, label_dim=2, num_layers=3,
+    )
+    out = train_graph_classifier(
+        model, batcher, TrainConfig(num_epochs=30, batch_size=10, eval_every=10),
+        seed=0,
+    )
+    assert out["history"]["train_acc"][-1] > 0.9
+    assert out["cg"] is not None
+    assert out["cg"]["adj"].shape[1:] == (12, 12)
+    # preds cover fewer graphs than adjs (reference contract,
+    # train.py:166-190: 20 batches of tensors, 5 of preds)
+    assert out["cg"]["pred"].shape[1] <= out["cg"]["adj"].shape[0]

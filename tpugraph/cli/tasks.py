@@ -1,0 +1,270 @@
+"""Experiment task wiring (reference ``train.py:557-987``): build dataset,
+model and run training, then save checkpoint + cg bundle."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from tpugraph.cli.config import Config
+from tpugraph.core.graph import Graph, graph_from_networkx
+from tpugraph.data import featgen, gengraph
+from tpugraph.nn import GcnEncoderGraph, GcnEncoderNode, SoftPoolingGcnEncoder
+from tpugraph.train.checkpoint import gen_prefix, save_checkpoint
+from tpugraph.train.loop import TrainConfig, train_graph_classifier, train_node_classifier
+
+
+def padded_features(G, g: Graph) -> np.ndarray:
+    """[N_pad, D] feature matrix following G.nodes() order (reference
+    ``gengraph.py:88-92``)."""
+    first = list(G.nodes())[-1]
+    d = G.nodes[first]["feat"].shape[0]
+    feat = np.zeros((g.num_nodes_padded, d), dtype=np.float32)
+    for i, u in enumerate(G.nodes()):
+        feat[i] = G.nodes[u]["feat"]
+    return feat
+
+
+def train_config(cfg: Config) -> TrainConfig:
+    return TrainConfig(
+        num_epochs=cfg.num_epochs,
+        lr=cfg.lr,
+        clip=cfg.clip,
+        weight_decay=cfg.weight_decay,
+        train_ratio=cfg.train_ratio,
+        test_ratio=cfg.test_ratio,
+        batch_size=cfg.batch_size,
+        opt=cfg.opt,
+        opt_scheduler=cfg.opt_scheduler,
+        opt_decay_step=cfg.opt_decay_step,
+        opt_decay_rate=cfg.opt_decay_rate,
+        opt_restart=cfg.opt_restart,
+        eval_every=cfg.eval_every,
+    )
+
+
+def build_node_model(cfg: Config, input_dim: int, num_classes: int) -> GcnEncoderNode:
+    return GcnEncoderNode(
+        input_dim=input_dim,
+        hidden_dim=cfg.hidden_dim,
+        embedding_dim=cfg.output_dim,
+        label_dim=num_classes,
+        num_layers=cfg.num_gc_layers,
+        bn=cfg.bn,
+        dropout=cfg.dropout,
+        use_bias=cfg.bias,
+        att=(cfg.method == "att"),
+    )
+
+
+def run_node_task(
+    cfg: Config,
+    G,
+    labels,
+    class_weight: Optional[np.ndarray] = None,
+    log_fn=None,
+) -> Dict:
+    """Common node-classification path: sparse-graph conversion, training,
+    checkpoint with the dense cg bundle (reference ``train.py:264-361``)."""
+    num_classes = int(max(labels)) + 1
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    model = build_node_model(cfg, feat.shape[1], num_classes)
+    out = train_node_classifier(
+        model,
+        g,
+        feat,
+        labels,
+        train_config(cfg),
+        class_weight=class_weight,
+        seed=cfg.seed,
+        log_fn=log_fn,
+    )
+    # cg bundle in the reference's dense [1, N, ...] contract
+    # (train.py:352-358) so the explainer and notebooks interoperate.
+    data = gengraph.preprocess_input_graph(G, labels)
+    n_real = data["adj"].shape[1]
+    cg = {
+        "adj": data["adj"],
+        "feat": data["feat"],
+        "label": data["labels"],
+        "pred": out["ypred"][:, :n_real],
+        "train_idx": out["train_idx"],
+    }
+    prefix = gen_prefix(
+        cfg.name, cfg.method, cfg.hidden_dim, cfg.output_dim, cfg.bias,
+        cfg.name_suffix,
+    )
+    path = save_checkpoint(
+        cfg.ckptdir,
+        prefix,
+        out["params"],
+        cg_dict=cg,
+        meta={
+            "model_type": cfg.method,
+            "task": "node",
+            "input_dim": feat.shape[1],
+            "num_classes": num_classes,
+            "num_gc_layers": cfg.num_gc_layers,
+            "hidden_dim": cfg.hidden_dim,
+            "output_dim": cfg.output_dim,
+            "bn": cfg.bn,
+            "result_train": {k: v for k, v in out["result_train"].items()
+                             if k != "conf_mat"},
+            "result_test": {k: v for k, v in out["result_test"].items()
+                            if k != "conf_mat"},
+        },
+    )
+    out["ckpt_path"] = path
+    out["cg"] = cg
+    return out
+
+
+def syn_task(cfg: Config, log_fn=None) -> Dict:
+    """syn1–syn5 node classification (reference ``train.py:591-754``)."""
+    gen = gengraph.GENERATORS[cfg.dataset]
+    const_feat = featgen.ConstFeatureGen(np.ones(cfg.input_dim, dtype=np.float32))
+    if cfg.dataset == "syn2":
+        G, labels, _ = gen(seed=cfg.seed)
+    else:
+        G, labels, _ = gen(feature_generator=const_feat, seed=cfg.seed)
+    return run_node_task(cfg, G, labels, log_fn=log_fn)
+
+
+def enron_task(cfg: Config, log_fn=None) -> Dict:
+    """Enron role classification over the disjoint union of 10 pickled
+    slices (reference ``train.py:816-866``)."""
+    import networkx as nx
+    from tpugraph.data.readers import load_enron_slices, ENRON_LABELS
+
+    G_list = load_enron_slices(cfg.datadir, input_dim=cfg.input_dim)
+    G = nx.disjoint_union_all(G_list)
+    labels = [ENRON_LABELS[n[1].get("role", "None")] for n in G.nodes(data=True)]
+    return run_node_task(cfg, G, labels, log_fn=log_fn)
+
+
+def ppi_task(cfg: Config, log_fn=None) -> Dict:
+    """ppi_essential with class-weighted CE [1, 5] (reference
+    ``train.py:557-588``)."""
+    from tpugraph.data.readers import read_biosnap
+
+    G = read_biosnap(
+        os.path.join(cfg.datadir, "ppi_essential"),
+        "hi-union-ppi.tsv",
+        "G-HumanEssential.tsv",
+        feat_file="G-MtfPathways_gene-motifs.csv",
+    )
+    labels = np.array([G.nodes[u]["label"] for u in G.nodes()])
+    return run_node_task(
+        cfg, G, labels, class_weight=np.array([1.0, 5.0], np.float32),
+        log_fn=log_fn,
+    )
+
+
+def benchmark_task(cfg: Config, log_fn=None, feat: str = "node-label") -> Dict:
+    """TU-format graph classification (reference ``train.py:869-934``)."""
+    from tpugraph.data.pipeline import prepare_data
+    from tpugraph.data.readers import read_graphfile
+
+    graphs = read_graphfile(cfg.datadir, cfg.bmname, max_nodes=cfg.max_nodes)
+    if feat == "node-feat" and "feat_dim" in graphs[0].graph:
+        pass  # features already attached by the reader
+    elif feat == "node-label" and "label" in graphs[0].nodes[list(graphs[0])[0]]:
+        for G in graphs:
+            for u in G.nodes():
+                G.nodes[u]["feat"] = np.asarray(
+                    G.nodes[u]["label"], dtype=np.float32
+                )
+    else:
+        const = featgen.ConstFeatureGen(np.ones(cfg.input_dim, dtype=np.float32))
+        for G in graphs:
+            const.gen_node_features(G)
+
+    num_classes = max(G.graph["label"] for G in graphs) + 1
+    rng = np.random.default_rng(cfg.seed)
+    train_b, val_b, test_b = prepare_data(
+        graphs,
+        train_ratio=cfg.train_ratio,
+        test_ratio=cfg.test_ratio,
+        features=cfg.feature_type,
+        max_nodes=cfg.max_nodes,
+        rng=rng,
+    )
+    if cfg.method == "soft-assign":
+        model = SoftPoolingGcnEncoder(
+            max_num_nodes=train_b.max_num_nodes,
+            input_dim=train_b.feat_dim,
+            hidden_dim=cfg.hidden_dim,
+            embedding_dim=cfg.output_dim,
+            label_dim=num_classes,
+            num_layers=cfg.num_gc_layers,
+            assign_hidden_dim=cfg.hidden_dim,
+            assign_ratio=cfg.assign_ratio,
+            num_pooling=cfg.num_pool,
+            bn=cfg.bn,
+            dropout=cfg.dropout,
+            linkpred=cfg.linkpred,
+            assign_input_dim=train_b.assign_feat_dim,
+            use_bias=cfg.bias,
+        )
+    else:
+        model = GcnEncoderGraph(
+            input_dim=train_b.feat_dim,
+            hidden_dim=cfg.hidden_dim,
+            embedding_dim=cfg.output_dim,
+            label_dim=num_classes,
+            num_layers=cfg.num_gc_layers,
+            bn=cfg.bn,
+            dropout=cfg.dropout,
+            use_bias=cfg.bias,
+            att=(cfg.method == "att"),
+        )
+    out = train_graph_classifier(
+        model,
+        train_b,
+        train_config(cfg),
+        val_batcher=val_b,
+        test_batcher=test_b,
+        linkpred=(cfg.method == "soft-assign" and cfg.linkpred),
+        seed=cfg.seed,
+        log_fn=log_fn,
+    )
+    prefix = gen_prefix(
+        cfg.name, cfg.method, cfg.hidden_dim, cfg.output_dim, cfg.bias,
+        cfg.name_suffix,
+    )
+    path = save_checkpoint(
+        cfg.ckptdir,
+        prefix,
+        out["params"],
+        cg_dict=out["cg"],
+        meta={
+            "model_type": cfg.method,
+            "task": "graph",
+            "input_dim": train_b.feat_dim,
+            "assign_input_dim": train_b.assign_feat_dim,
+            "max_num_nodes": train_b.max_num_nodes,
+            "num_classes": int(num_classes),
+            "num_gc_layers": cfg.num_gc_layers,
+            "hidden_dim": cfg.hidden_dim,
+            "output_dim": cfg.output_dim,
+            "best_val": out["best_val"],
+            "test_result": out["test_result"],
+        },
+    )
+    out["ckpt_path"] = path
+    return out
+
+
+def run_task(cfg: Config, log_fn=None) -> Dict:
+    if cfg.bmname is not None:
+        return benchmark_task(cfg, log_fn=log_fn)
+    if cfg.dataset in gengraph.GENERATORS:
+        return syn_task(cfg, log_fn=log_fn)
+    if cfg.dataset == "enron":
+        return enron_task(cfg, log_fn=log_fn)
+    if cfg.dataset == "ppi_essential":
+        return ppi_task(cfg, log_fn=log_fn)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

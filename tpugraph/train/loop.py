@@ -1,0 +1,344 @@
+"""Training loops (reference ``train.py:132-484``), redesigned for XLA.
+
+The reference runs one Python-side optimizer step per epoch with host->GPU
+transfers every epoch (``train.py:283-342``).  Here the full-batch node
+classifier compiles ONE ``lax.scan`` over a chunk of epochs — parameters,
+optimizer state and metrics stay on device; the host only sees periodic
+metric snapshots.  The graph classifier jits a single batch step reused
+across all static-shape batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugraph.core.graph import Graph
+from tpugraph.nn.layers import SparseAdj
+from tpugraph.nn.losses import (
+    link_prediction_loss,
+    node_cross_entropy,
+    softmax_cross_entropy,
+)
+from tpugraph.train.metrics import eval_node, eval_graph_preds
+from tpugraph.train.optim import OptimizerConfig, build_optimizer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training hyperparameters, defaults matching the reference CLI
+    (reference ``configs.py:75-101``)."""
+
+    num_epochs: int = 1000
+    lr: float = 0.001
+    clip: float = 2.0
+    weight_decay: float = 0.005
+    train_ratio: float = 0.8
+    test_ratio: float = 0.1
+    batch_size: int = 20
+    opt: str = "adam"
+    opt_scheduler: str = "none"
+    opt_decay_step: int = 100
+    opt_decay_rate: float = 0.1
+    opt_restart: int = 200
+    eval_every: int = 25
+    scan_chunk: int = 25  # epochs fused into one device call
+
+
+def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> OptimizerConfig:
+    return OptimizerConfig(
+        opt=cfg.opt,
+        lr=cfg.lr,
+        scheduler=cfg.opt_scheduler,
+        decay_step=cfg.opt_decay_step,
+        decay_rate=cfg.opt_decay_rate,
+        restart=cfg.opt_restart,
+        weight_decay=cfg.weight_decay if weight_decay is None else weight_decay,
+        clip=cfg.clip,
+    )
+
+
+def split_nodes(
+    num_nodes: int, train_ratio: float, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shuffled node-level train/test split (reference ``train.py:266-272``)."""
+    idx = np.arange(num_nodes)
+    rng.shuffle(idx)
+    num_train = int(num_nodes * train_ratio)
+    return idx[:num_train], idx[num_train:]
+
+
+def train_node_classifier(
+    model,
+    g: Graph,
+    feat: np.ndarray,
+    labels: np.ndarray,
+    cfg: TrainConfig,
+    class_weight: Optional[np.ndarray] = None,
+    seed: int = 0,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> Dict[str, Any]:
+    """Full-batch node classification on one padded sparse graph.
+
+    Equivalent of reference ``train_node_classifier`` (``train.py:264-361``)
+    on the sparse TPU path: the hot loop is a jitted ``lax.scan`` over
+    ``cfg.scan_chunk`` epochs per device call.
+
+    Args:
+      model: a flax module with signature ``apply(params, x, adj) -> (logits,
+        att)`` (e.g. :class:`tpugraph.nn.GcnEncoderNode`).
+      feat: float32[N_pad, D] node features (padded rows zero).
+      labels: int[N_real] node labels.
+    Returns dict with params, preds, metrics history and the node split.
+    """
+    rng = np.random.default_rng(seed)
+    n_real = int(g.n_node)
+    n_pad = g.num_nodes_padded
+    train_idx, test_idx = split_nodes(n_real, cfg.train_ratio, rng)
+
+    labels_pad = np.zeros((n_pad,), dtype=np.int32)
+    labels_pad[:n_real] = np.asarray(labels, dtype=np.int32)
+    train_mask = np.zeros((n_pad,), dtype=np.float32)
+    train_mask[train_idx] = 1.0
+    test_mask = np.zeros((n_pad,), dtype=np.float32)
+    test_mask[test_idx] = 1.0
+
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    x = jnp.asarray(feat, dtype=jnp.float32)
+    y = jnp.asarray(labels_pad)
+    train_mask_d = jnp.asarray(train_mask)
+    test_mask_d = jnp.asarray(test_mask)
+    cw = None if class_weight is None else jnp.asarray(class_weight, jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(seed), x, sp)
+    tx = build_optimizer(_opt_config(cfg))
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, x, sp, deterministic=False)
+        return node_cross_entropy(logits, y, class_weight=cw, node_mask=train_mask_d), logits
+
+    def epoch_step(carry, _):
+        p, s = carry
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        pred_lab = jnp.argmax(logits, axis=-1)
+        correct = (pred_lab == y).astype(jnp.float32)
+        train_acc = jnp.sum(correct * train_mask_d) / jnp.maximum(
+            jnp.sum(train_mask_d), 1.0
+        )
+        test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
+            jnp.sum(test_mask_d), 1.0
+        )
+        return (p, s), (loss, train_acc, test_acc)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="length")
+    def run_chunk(p, s, length):
+        return jax.lax.scan(epoch_step, (p, s), None, length=length)
+
+    history: Dict[str, List[float]] = {"loss": [], "train_acc": [], "test_acc": []}
+    begin = time.time()
+    done = 0
+    while done < cfg.num_epochs:
+        chunk = min(cfg.scan_chunk, cfg.num_epochs - done)
+        (params, opt_state), (losses, tr_acc, te_acc) = run_chunk(
+            params, opt_state, chunk
+        )
+        done += chunk
+        history["loss"].extend(np.asarray(losses).tolist())
+        history["train_acc"].extend(np.asarray(tr_acc).tolist())
+        history["test_acc"].extend(np.asarray(te_acc).tolist())
+        if log_fn is not None:
+            log_fn(
+                done,
+                {
+                    "loss": history["loss"][-1],
+                    "train_acc": history["train_acc"][-1],
+                    "test_acc": history["test_acc"][-1],
+                },
+            )
+    elapsed = time.time() - begin
+
+    # Final eval-mode forward producing the cg `pred` (reference
+    # train.py:346-358).
+    logits, _ = jax.jit(lambda p: model.apply(p, x, sp))(params)
+    ypred = np.asarray(logits)[None]  # [1, N_pad, C]
+    result_train, result_test = eval_node(
+        ypred[:, :n_real], np.asarray(labels)[None], train_idx, test_idx
+    )
+
+    return {
+        "params": params,
+        "ypred": ypred,
+        "train_idx": train_idx,
+        "test_idx": test_idx,
+        "history": history,
+        "result_train": result_train,
+        "result_test": result_test,
+        "elapsed": elapsed,
+    }
+
+
+def train_graph_classifier(
+    model,
+    train_batcher,
+    cfg: TrainConfig,
+    val_batcher=None,
+    test_batcher=None,
+    linkpred: bool = False,
+    seed: int = 0,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    max_eval_examples: Optional[int] = 100,
+) -> Dict[str, Any]:
+    """Minibatch graph classification (reference ``train``,
+    ``train.py:132-261``): Adam(lr=0.001) with grad clipping, per-epoch
+    train/val/test eval, best-val tracking, and a cg bundle of the first
+    training batches.
+
+    ``model.apply(params, x, adj, node_mask=..., [assign_x=...])`` must
+    return ``(logits [B, C], aux)`` where aux is the attention list or the
+    DiffPool assignment list (when ``linkpred``).
+    """
+    rng = np.random.default_rng(seed)
+    first = train_batcher.batch(np.arange(min(len(train_batcher), cfg.batch_size)))
+    uses_assign = linkpred or getattr(model, "assign_hidden_dim", None) is not None
+
+    def apply_model(p, batch_adj, batch_x, batch_mask, batch_assign):
+        kwargs = {"node_mask": batch_mask}
+        if uses_assign:
+            kwargs["assign_x"] = batch_assign
+        return model.apply(p, batch_x, batch_adj, **kwargs)
+
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(first.feats),
+        jnp.asarray(first.adj),
+        node_mask=jnp.asarray(first.node_mask),
+        **({"assign_x": jnp.asarray(first.assign_feats)} if uses_assign else {}),
+    )
+    # Reference hardcodes Adam(lr=0.001) for graph classification
+    # (train.py:144-146) with clip (train.py:197) and no weight decay.
+    tx = build_optimizer(
+        OptimizerConfig(opt="adam", lr=0.001, clip=cfg.clip, weight_decay=0.0)
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, adj, xb, mask, assign, label):
+        def loss_fn(p):
+            logits, aux = apply_model(p, adj, xb, mask, assign)
+            loss = softmax_cross_entropy(logits, label)
+            if linkpred and isinstance(aux, (list, tuple)) and len(aux) > 0:
+                loss = loss + link_prediction_loss(aux[0], adj, mask)
+            return loss, logits
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, loss, logits
+
+    @jax.jit
+    def infer(p, adj, xb, mask, assign):
+        logits, _ = apply_model(p, adj, xb, mask, assign)
+        return jnp.argmax(logits, axis=-1)
+
+    def evaluate(batcher, max_examples=None) -> Dict[str, float]:
+        preds, labs = [], []
+        seen = 0
+        for batch in batcher.batches(cfg.batch_size, shuffle=False, pad_final=True):
+            pred = np.asarray(
+                infer(
+                    params,
+                    jnp.asarray(batch.adj),
+                    jnp.asarray(batch.feats),
+                    jnp.asarray(batch.node_mask),
+                    jnp.asarray(batch.assign_feats),
+                )
+            )
+            preds.append(pred)
+            labs.append(batch.label)
+            seen += len(batch.label)
+            if max_examples is not None and seen >= max_examples:
+                break
+        return eval_graph_preds(np.concatenate(preds), np.concatenate(labs))
+
+    history: Dict[str, List[float]] = {"loss": [], "train_acc": [], "val_acc": [],
+                                       "test_acc": []}
+    best_val = {"epoch": 0, "acc": 0.0, "loss": 0.0}
+    test_result = {"epoch": 0, "acc": 0.0}
+    cg_batches: List[Any] = []
+    cg_preds: List[np.ndarray] = []
+    begin = time.time()
+
+    for epoch in range(cfg.num_epochs):
+        avg_loss, nb = 0.0, 0
+        for bi, batch in enumerate(
+            train_batcher.batches(cfg.batch_size, shuffle=True, rng=rng)
+        ):
+            params, opt_state, loss, logits = step(
+                params,
+                opt_state,
+                jnp.asarray(batch.adj),
+                jnp.asarray(batch.feats),
+                jnp.asarray(batch.node_mask),
+                jnp.asarray(batch.assign_feats),
+                jnp.asarray(batch.label),
+            )
+            avg_loss += float(loss)
+            nb += 1
+            if epoch == cfg.num_epochs - 1:
+                # cg bundle: first-20-batch tensors + first-5-batch preds
+                # (reference train.py:166-190, 253-260)
+                if bi < 20:
+                    cg_batches.append(batch)
+                if bi < 5:
+                    cg_preds.append(np.asarray(logits))
+        avg_loss /= max(nb, 1)
+        history["loss"].append(avg_loss)
+
+        if (epoch % cfg.eval_every == 0) or epoch == cfg.num_epochs - 1:
+            tr = evaluate(train_batcher, max_eval_examples)
+            history["train_acc"].append(tr["acc"])
+            scalars = {"loss": avg_loss, "train_acc": tr["acc"]}
+            if val_batcher is not None and len(val_batcher) > 0:
+                vr = evaluate(val_batcher)
+                history["val_acc"].append(vr["acc"])
+                scalars["val_acc"] = vr["acc"]
+                if vr["acc"] > best_val["acc"] - 1e-7:
+                    best_val = {"epoch": epoch, "acc": vr["acc"], "loss": avg_loss}
+            if test_batcher is not None and len(test_batcher) > 0:
+                te = evaluate(test_batcher)
+                history["test_acc"].append(te["acc"])
+                test_result = {"epoch": epoch, "acc": te["acc"]}
+                scalars["test_acc"] = te["acc"]
+            if log_fn is not None:
+                log_fn(epoch, scalars)
+
+    elapsed = time.time() - begin
+    cg_dict = None
+    if cg_batches:
+        cg_dict = {
+            "adj": np.concatenate([b.adj for b in cg_batches], axis=0),
+            "feat": np.concatenate([b.feats for b in cg_batches], axis=0),
+            "label": np.concatenate([b.label for b in cg_batches], axis=0),
+            "num_nodes": np.concatenate([b.num_nodes for b in cg_batches], axis=0),
+            "pred": np.expand_dims(np.concatenate(cg_preds, axis=0), axis=0),
+            "train_idx": np.arange(len(train_batcher)),
+        }
+    return {
+        "params": params,
+        "history": history,
+        "best_val": best_val,
+        "test_result": test_result,
+        "cg": cg_dict,
+        "elapsed": elapsed,
+    }
