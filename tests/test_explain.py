@@ -1,0 +1,128 @@
+"""Explainer tests: mask mechanics, ground truth, e2e syn1 AUC, baselines,
+alignment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpugraph.cli.config import Config
+from tpugraph.cli.tasks import syn_task, build_node_model
+from tpugraph.core.graph import graph_from_dense
+from tpugraph.explain import (
+    ExplainConfig,
+    Explainer,
+    init_masks,
+    make_pred_real,
+    masked_edge_weights,
+)
+from tpugraph.explain.align import align_explanations
+from tpugraph.explain.module import MaskState
+
+
+def test_masked_weights_symmetric_and_dead_padding(rng):
+    a = (rng.random((10, 10)) < 0.3).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    cfg = ExplainConfig()
+    key = jax.random.PRNGKey(0)
+    state = init_masks(key, g.num_edges_padded, 4, jnp.asarray(10), cfg)
+    w = np.asarray(masked_edge_weights(g, state, cfg))
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    live = np.asarray(g.edge_weight) != 0
+    # padding edges stay zero
+    assert np.all(w[~live] == 0)
+    # symmetric: w(i->j) == w(j->i)
+    wmap = {}
+    for e in np.nonzero(live)[0]:
+        wmap[(s[e], r[e])] = w[e]
+    for (i, j), val in wmap.items():
+        assert np.isclose(val, wmap[(j, i)]), (i, j)
+    # gates in (0, 1): sigmoid of finite logits
+    assert np.all(w[live] > 0) and np.all(w[live] < 1)
+
+
+def test_mask_init_std_matches_reference():
+    cfg = ExplainConfig()
+    n = 100
+    keys = jax.random.split(jax.random.PRNGKey(1), 200)
+    stds = []
+    for k in keys[:50]:
+        st = init_masks(k, 500, 4, jnp.asarray(n), cfg)
+        stds.append(np.std(np.asarray(st.edge_logits)))
+    expected = np.sqrt(2.0) * np.sqrt(2.0 / (2 * n))  # explain.py:645-650
+    assert abs(np.mean(stds) - expected) / expected < 0.15
+    # feat mask init 0 -> sigmoid 0.5 (explain.py:639-641)
+    st = init_masks(keys[0], 10, 7, jnp.asarray(n), cfg)
+    np.testing.assert_allclose(np.asarray(st.feat_logits), 0.0)
+
+
+def test_make_pred_real_house():
+    # house motif at positions 2..6 of an 8-node subgraph
+    n = 8
+    adj = np.zeros((n, n), np.float32)
+    edges = [(0, 1), (1, 2)]  # basis edges
+    house = [(2, 3), (3, 4), (4, 5), (2, 5), (2, 6), (3, 6)]
+    for i, j in edges + house:
+        adj[i, j] = adj[j, i] = 0.9
+    pred, real = make_pred_real(adj, 2, "syn1")
+    assert real.sum() == 6  # exactly the house edges
+    assert len(pred) == len(edges) + len(house)
+
+
+def test_make_pred_real_unknown_dataset():
+    with pytest.raises(ValueError, match="no motif ground truth"):
+        make_pred_real(np.eye(4), 0, "syn3")
+
+
+@pytest.fixture(scope="module")
+def syn1_trained():
+    cfg = Config(dataset="syn1", num_epochs=800, eval_every=800)
+    cfg.ckptdir = "/tmp/tpugraph_test_ckpt"
+    out = syn_task(cfg)
+    cg = out["cg"]
+    model = build_node_model(cfg, cg["feat"].shape[2], cg["pred"].shape[2])
+    return model, out, cg
+
+
+def test_explain_batch_auc(syn1_trained):
+    model, out, cg = syn1_trained
+    ex = Explainer(
+        model, out["params"], cg["adj"], cg["feat"], cg["label"], cg["pred"],
+        n_hops=3, dataset="syn1",
+    )
+    res = ex.explain_nodes_gnn_stats(list(range(400, 700, 25)))
+    assert res["auc"] is not None and res["auc"] > 0.9, res["auc"]
+    r0 = res["results"][0]
+    # dense export contract: square sub-adjacency, symmetric, weights in [0,1]
+    ma = r0["masked_adj"]
+    assert ma.shape[0] == ma.shape[1] == len(r0["neighbors"])
+    np.testing.assert_allclose(ma, ma.T, atol=1e-6)
+    assert ma.max() <= 1.0 + 1e-6
+
+
+def test_grad_baseline(syn1_trained):
+    model, out, cg = syn1_trained
+    ex = Explainer(
+        model, out["params"], cg["adj"], cg["feat"], cg["label"], cg["pred"],
+        n_hops=3, dataset="syn1",
+    )
+    adj = ex.explain(405, model="grad")
+    assert adj.shape[0] == adj.shape[1]
+    assert np.all(adj >= 0)
+    # saliency restricted to edge support
+    _, sub_adj, _, _, _ = ex.extract_neighborhood(405)
+    assert np.all((adj > 0) <= (sub_adj > 0))
+
+
+def test_align_identical_graphs_converges():
+    adj = np.zeros((5, 5), np.float32)
+    for i, j in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]:
+        adj[i, j] = adj[j, i] = 1.0
+    feat = np.eye(5, 3, dtype=np.float32)
+    P, aligned_adj, aligned_feat = align_explanations(
+        feat, adj, 0, feat, adj, 0, num_steps=300,
+    )
+    assert np.linalg.norm(aligned_adj - adj) < 1.5
+    assert P.shape == (5, 5)

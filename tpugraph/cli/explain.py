@@ -1,0 +1,153 @@
+"""Explainer entry point (reference ``explainer_main.py:171-316``).
+
+Usage:
+  python -m tpugraph.cli.explain --dataset=syn1                      # stats over nodes 400:700:5
+  python -m tpugraph.cli.explain --dataset=syn1 --explain-node=301
+  python -m tpugraph.cli.explain --bmname=Mutagenicity --graph-mode --graph-idx=1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from tpugraph.cli.config import Config, apply_platform, parse_explain_args
+from tpugraph.explain.explainer import Explainer
+from tpugraph.explain.module import ExplainConfig
+from tpugraph.nn import GcnEncoderGraph, GcnEncoderNode
+from tpugraph.train.checkpoint import (
+    gen_explainer_prefix,
+    gen_prefix,
+    load_checkpoint,
+)
+from tpugraph.viz.graphs import denoise_graph, log_graph
+
+
+def build_explainer(cfg: Config, explainer_model: str = "exp") -> Explainer:
+    prefix = gen_prefix(
+        cfg.name, cfg.method, cfg.hidden_dim, cfg.output_dim, cfg.bias,
+        cfg.name_suffix,
+    )
+    ckpt = load_checkpoint(cfg.ckptdir, prefix)
+    cg = ckpt["cg"]
+    if cg is None:
+        raise ValueError(f"checkpoint {prefix} has no cg bundle")
+    meta = ckpt["meta"] or {}
+    input_dim = int(cg["feat"].shape[2])
+    num_classes = int(cg["pred"].shape[2])
+
+    graph_mode = (
+        cfg.graph_mode or cfg.multigraph_class >= 0 or cfg.graph_idx >= 0
+    )
+    common = dict(
+        input_dim=input_dim,
+        hidden_dim=cfg.hidden_dim,
+        embedding_dim=cfg.output_dim,
+        label_dim=num_classes,
+        num_layers=cfg.num_gc_layers,
+        bn=cfg.bn,
+        use_bias=cfg.bias,
+        att=(cfg.method == "att"),
+    )
+    model = GcnEncoderGraph(**common) if graph_mode else GcnEncoderNode(**common)
+
+    # restore typed params via a template init
+    import jax
+    import jax.numpy as jnp
+
+    dummy_x = jnp.zeros((1, 4, input_dim))
+    dummy_adj = jnp.zeros((1, 4, 4))
+    template = model.init(jax.random.PRNGKey(0), dummy_x, dummy_adj)
+    ckpt = load_checkpoint(cfg.ckptdir, prefix, params_template=template)
+
+    logdir = os.path.join(
+        cfg.logdir, gen_explainer_prefix(prefix, cfg.explainer_suffix)
+    )
+    os.makedirs(logdir, exist_ok=True)
+
+    ecfg = ExplainConfig(
+        num_epochs=cfg.explainer_epochs,
+        lr=cfg.explainer_lr,
+        mask_act=cfg.mask_act,
+        mask_bias=cfg.mask_bias,
+    )
+    return Explainer(
+        model,
+        ckpt["params"],
+        adj=cg["adj"],
+        feat=cg["feat"],
+        label=cg["label"],
+        pred=cg["pred"],
+        train_idx=ckpt["train_idx"],
+        n_hops=cfg.num_gc_layers,
+        graph_mode=graph_mode,
+        graph_idx=max(cfg.graph_idx, 0),
+        cfg=ecfg,
+        logdir=logdir,
+        dataset=cfg.name,
+        print_training=True,
+        seed=cfg.seed,
+    )
+
+
+def main(argv=None) -> None:
+    cfg = parse_explain_args(argv)
+    apply_platform(cfg)
+    explainer_model = getattr(cfg, "explainer_model", "exp")
+    ex = build_explainer(cfg, explainer_model)
+    graph_mode = ex.graph_mode
+
+    summary = {"dataset": cfg.name, "mode": "graph" if graph_mode else "node"}
+    if cfg.explain_node is not None:
+        masked_adj = ex.explain(cfg.explain_node, model=explainer_model)
+        summary["explain_node"] = cfg.explain_node
+        summary["mask_shape"] = list(masked_adj.shape)
+        G = denoise_graph(masked_adj, 0, threshold_num=12)
+        path = log_graph(G, f"node_{cfg.explain_node}", outdir=ex.logdir)
+        summary["viz"] = path
+    elif graph_mode:
+        if cfg.multigraph_class >= 0:
+            labels = np.asarray(ex.label).reshape(-1)
+            graph_indices = [
+                i for i, l in enumerate(labels)
+                if l == cfg.multigraph_class
+            ][:31]
+            masked = ex.explain_graphs(graph_indices)
+            summary["graph_indices"] = graph_indices
+        elif cfg.graph_idx == -1:
+            masked = ex.explain_graphs([1, 2, 3, 4])
+            summary["graph_indices"] = [1, 2, 3, 4]
+        else:
+            masked_adj = ex.explain(
+                node_idx=0, graph_idx=cfg.graph_idx, graph_mode=True
+            )
+            summary["graph_idx"] = cfg.graph_idx
+            summary["mask_shape"] = list(masked_adj.shape)
+    else:
+        if cfg.multinode_class >= 0:
+            labels = np.asarray(ex.label[0])
+            node_indices = [
+                i for i, l in enumerate(labels) if l == cfg.multinode_class
+            ][:5]
+        else:
+            node_indices = list(range(400, 700, 5))
+        res = ex.explain_nodes_gnn_stats(node_indices, model=explainer_model)
+        summary["num_nodes_explained"] = len(node_indices)
+        summary["auc"] = res["auc"]
+        # render the first few explanation subgraphs
+        for r in res["results"][:4]:
+            G = denoise_graph(
+                r["masked_adj"], r["node_idx_new"], threshold_num=20
+            )
+            log_graph(
+                G,
+                f"graph_{cfg.name}_{explainer_model}_{r['node_idx']}",
+                outdir=ex.logdir,
+            )
+    print(json.dumps(summary, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
