@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import __graft_entry__ as graft
+from tpugraph.core.graph import graph_from_dense
+from tpugraph.parallel.mesh import make_mesh
+from tpugraph.parallel.spmd import shard_graph_edges, sharded_spmm
+from tpugraph.ops.message import spmm
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def test_sharded_spmm_matches_single_device(rng, mesh8):
+    n = 64
+    a = (rng.random((n, n)) < 0.15).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a, num_edges_padded=1024)  # multiple of 8
+    x = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 6)).astype(np.float32))
+
+    y_ref = spmm(g.senders, g.receivers, g.edge_weight, x)
+
+    gs = shard_graph_edges(g, mesh8)
+    f = sharded_spmm(mesh8)
+    y_sharded = f(gs.senders, gs.receivers, gs.edge_weight, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), atol=1e-4
+    )
+
+
+def test_shard_graph_pads_edges_to_mesh_multiple(rng, mesh8):
+    n = 16
+    a = np.zeros((n, n), np.float32)
+    a[0, 1] = a[1, 0] = 1
+    a[2, 3] = a[3, 2] = 1
+    g = graph_from_dense(a)  # 4 directed edges -> padded to 8 by default
+    gs = shard_graph_edges(g, mesh8)
+    assert gs.num_edges_padded % 8 == 0
+
+
+def test_dryrun_multichip_entrypoints():
+    graft.dryrun_multichip(8)
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.ndim == 2 and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sharded_train_step_loss_decreases(mesh8):
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.spmd import make_sharded_node_train_step
+
+    model, g, x, y = graft._tiny_problem()
+    gs = shard_graph_edges(g, mesh8)
+    repl = NamedSharding(mesh8, P())
+    x = jax.device_put(x, repl)
+    y = jax.device_put(y, repl)
+    mask = jax.device_put(gs.node_mask, repl)
+    params = jax.device_put(
+        model.init(jax.random.PRNGKey(0), x,
+                   SparseAdj(gs.senders, gs.receivers, gs.edge_weight)),
+        repl,
+    )
+    tx = optax.adam(1e-2)
+    opt_state = jax.device_put(tx.init(params), repl)
+    step = make_sharded_node_train_step(model, tx, mesh8)
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, gs, x, y, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

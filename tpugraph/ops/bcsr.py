@@ -1,0 +1,139 @@
+"""Block-CSR (BCSR) sparse format for TPU.
+
+TPU MXUs consume dense 128x128 tiles; scalar gather/scatter is slow.  So
+the Pallas fast path stores the adjacency as *dense tiles over the
+nonempty 128x128 blocks* of the (row=receiver, col=sender) matrix:
+
+  tiles    float32[T, B, B]  — dense tile values
+  col_blk  int32[T]          — column block index of each tile
+  row_ptr  int32[R+1]        — CSR offsets over row blocks
+  row_of   int32[T]          — row block index per tile (= CSR expansion)
+
+Motif/locality-rich graphs (syn*, Enron, PPI) have high per-tile density
+after node ordering; each tile feeds one 128x128xD MXU matmul.  The
+conversion is a one-time host-side cost.  Reference equivalent: none —
+the reference is dense N^2 (``models.py:70``); this is the TPU-native
+replacement (SURVEY §2.2 "Intra-op/device kernels").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class BCSR(NamedTuple):
+    tiles: jax.Array     # float32[T, B, B]
+    col_blk: jax.Array   # int32[T]
+    row_ptr: jax.Array   # int32[R+1]
+    row_of: jax.Array    # int32[T]
+    num_nodes: int       # padded node count (R * B)  [static]
+    block: int           # tile edge length            [static]
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def num_row_blocks(self) -> int:
+        return self.row_ptr.shape[0] - 1
+
+
+def bcsr_from_coo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+    block: int = 128,
+    pad_tiles_to: Optional[int] = None,
+) -> BCSR:
+    """Host-side COO -> BCSR conversion.  Convention matches
+    ``ops.message.spmm``: entry (row=receiver, col=sender) = weight."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    weights = np.asarray(weights, dtype=np.float32)
+    live = weights != 0
+    s, r, w = senders[live], receivers[live], weights[live]
+
+    n_pad = ((num_nodes + block - 1) // block) * block
+    n_blocks = n_pad // block
+
+    rb = r // block
+    cb = s // block
+    keys = rb.astype(np.int64) * n_blocks + cb
+    order = np.argsort(keys, kind="stable")
+    s, r, w, keys = s[order], r[order], w[order], keys[order]
+    uniq, start_idx = np.unique(keys, return_index=True)
+
+    t = len(uniq)
+    t_pad = pad_tiles_to or max(t, 1)
+    if t_pad < t:
+        raise ValueError(f"tile budget too small: {t} > {t_pad}")
+    tiles = np.zeros((t_pad, block, block), dtype=np.float32)
+    col_blk = np.zeros((t_pad,), dtype=np.int32)
+    row_of = np.zeros((t_pad,), dtype=np.int32)
+
+    bounds = np.append(start_idx, len(keys))
+    for ti in range(t):
+        lo, hi = bounds[ti], bounds[ti + 1]
+        rbi = int(uniq[ti] // n_blocks)
+        cbi = int(uniq[ti] % n_blocks)
+        rows = r[lo:hi] - rbi * block
+        cols = s[lo:hi] - cbi * block
+        np.add.at(tiles[ti], (rows, cols), w[lo:hi])
+        col_blk[ti] = cbi
+        row_of[ti] = rbi
+    # padding tiles: zero values, point at block 0 of the LAST row so the
+    # sequential-accumulation kernel sees them after all real rows.
+    if t_pad > t:
+        row_of[t:] = n_blocks - 1
+        col_blk[t:] = 0
+
+    row_ptr = np.zeros((n_blocks + 1,), dtype=np.int32)
+    counts = np.bincount(row_of[:t], minlength=n_blocks)
+    # padding tiles belong to the last row for pointer purposes
+    counts[n_blocks - 1] += t_pad - t
+    row_ptr[1:] = np.cumsum(counts)
+
+    return BCSR(
+        tiles=jnp.asarray(tiles),
+        col_blk=jnp.asarray(col_blk),
+        row_ptr=jnp.asarray(row_ptr),
+        row_of=jnp.asarray(row_of),
+        num_nodes=n_pad,
+        block=block,
+    )
+
+
+def bcsr_transpose_host(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+    block: int = 128,
+    pad_tiles_to: Optional[int] = None,
+) -> BCSR:
+    """BCSR of A^T (for the backward pass dX = A^T @ dY).  For symmetric
+    graph adjacencies A^T == A, but masked/attention weights break
+    symmetry in general."""
+    return bcsr_from_coo(
+        receivers, senders, weights, num_nodes, block, pad_tiles_to
+    )
+
+
+def bcsr_to_dense(m: BCSR) -> np.ndarray:
+    """Densify (testing only)."""
+    n = m.num_nodes
+    b = m.block
+    out = np.zeros((n, n), dtype=np.float32)
+    tiles = np.asarray(m.tiles)
+    col = np.asarray(m.col_blk)
+    row = np.asarray(m.row_of)
+    for ti in range(m.num_tiles):
+        ri, ci = int(row[ti]) * b, int(col[ti]) * b
+        out[ri : ri + b, ci : ci + b] += tiles[ti]
+    return out

@@ -1,0 +1,160 @@
+"""Pallas TPU kernels: block-sparse SpMM and SDDMM.
+
+The hot op of every GNN layer is ``y = A @ x`` (reference ``models.py:70``
+does it densely).  Here ``A`` is BCSR (``tpugraph.ops.bcsr``): the kernel
+walks the nonempty 128x128 tiles in row-block order, accumulating one
+``[B, B] @ [B, D]`` MXU matmul per tile into the output row block held in
+VMEM.  Scalar-prefetched ``col_blk`` / ``row_of`` drive the BlockSpec
+index maps, so the pipeline DMAs exactly the needed x-blocks from HBM —
+no gather instructions, all FLOPs on the MXU.
+
+SDDMM (``dA_tile = dY_row @ X_col^T`` masked to tile support) provides
+the mask/attention gradient restricted to edge support — the backward
+building block the explainer and GAT layers need at scale.
+
+Both kernels run in interpreter mode off-TPU (tests), and
+``make_bcsr_matvec`` wires them into a ``jax.custom_vjp`` so the sparse
+aggregation drops into any autodiff'd model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugraph.ops.bcsr import BCSR
+
+LANES = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _spmm_kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
+    t = pl.program_id(0)
+    row = row_ref[t]
+    prev_row = row_ref[jnp.maximum(t - 1, 0)]
+    is_first = jnp.logical_or(t == 0, row != prev_row)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.dot(
+        tiles_ref[0], x_ref[:], preferred_element_type=jnp.float32
+    )
+
+
+def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
+    """``y = A @ x`` with A in BCSR.  ``x`` must be ``[N_pad, D]`` with
+    ``N_pad == m.num_nodes`` and ``D`` a multiple of 128 (pad features).
+
+    Grid is one step per tile; tiles of one row block are consecutive, so
+    the output block stays resident in VMEM across its accumulation
+    (Pallas revisiting semantics) and spills to HBM once per row block.
+    """
+    n, d = x.shape
+    assert n == m.num_nodes, (n, m.num_nodes)
+    assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
+    b = m.block
+    t = m.num_tiles
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda i, row, col: (i, 0, 0)),
+            pl.BlockSpec((b, d), lambda i, row, col: (col[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i], 0)),
+    )
+    flops = 2 * t * b * b * d
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=t * b * b * 4 + t * b * d * 4 + n * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m.row_of, m.col_blk, m.tiles, x)
+
+
+def _sddmm_kernel(row_ref, col_ref, dy_ref, x_ref, support_ref, out_ref):
+    prod = jax.lax.dot_general(
+        dy_ref[:],
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # dy @ x^T
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = prod * (support_ref[0] != 0)
+
+
+def sddmm_bcsr(
+    m: BCSR, dy: jax.Array, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Per-tile gradient ``dA = (dY @ X^T) * support`` — SDDMM restricted
+    to the BCSR sparsity pattern.  Returns ``float32[T, B, B]``."""
+    n, d = x.shape
+    assert n == m.num_nodes and dy.shape == x.shape
+    assert d % LANES == 0
+    b = m.block
+    t = m.num_tiles
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, row, col: (row[i], 0)),
+            pl.BlockSpec((b, d), lambda i, row, col: (col[i], 0)),
+            pl.BlockSpec((1, b, b), lambda i, row, col: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b, b), lambda i, row, col: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, b, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * b * d,
+            bytes_accessed=2 * t * b * d * 4 + 2 * t * b * b * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m.row_of, m.col_blk, dy, x, m.tiles)
+
+
+def make_bcsr_matvec(
+    m: BCSR, m_t: BCSR, interpret: Optional[bool] = None
+) -> Callable[[jax.Array], jax.Array]:
+    """Differentiable sparse aggregation ``x -> A @ x`` with a custom VJP
+    (``dx = A^T @ g`` via the transposed BCSR — no XLA scatter in the
+    backward pass)."""
+
+    @jax.custom_vjp
+    def matvec(x):
+        return spmm_bcsr(m, x, interpret=interpret)
+
+    def fwd(x):
+        return matvec(x), None
+
+    def bwd(_, g):
+        return (spmm_bcsr(m_t, g, interpret=interpret),)
+
+    matvec.defvjp(fwd, bwd)
+    return matvec
