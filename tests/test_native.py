@@ -1,0 +1,91 @@
+"""Native C++ graph-engine tests (ctypes), cross-checked vs NumPy."""
+
+import numpy as np
+import pytest
+
+from tpugraph import native
+
+
+def coo(rng, n=200, p=0.03):
+    a = (rng.random((n, n)) < p).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    s, r = np.nonzero(a)
+    w = rng.random(len(s)).astype(np.float32) + 0.1
+    return s.astype(np.int32), r.astype(np.int32), w, n
+
+
+def test_native_builds():
+    assert native.native_available(), "C++ toolchain should be present"
+
+
+def test_coo_to_csr(rng):
+    s, r, w, n = coo(rng)
+    indptr, indices, perm = native.coo_to_csr(r, s, n)
+    assert indptr[-1] == len(s)
+    # every row segment contains exactly the senders of that receiver
+    for u in range(n):
+        seg = sorted(indices[indptr[u]:indptr[u + 1]])
+        expected = sorted(s[r == u])
+        assert seg == list(expected)
+    # perm maps CSR order back to input edges
+    np.testing.assert_array_equal(r[perm], np.repeat(
+        np.arange(n), np.diff(indptr)))
+
+
+def test_bcsr_pack_matches_python(rng):
+    from tpugraph.ops.bcsr import BCSR, bcsr_from_coo, bcsr_to_dense
+
+    s, r, w, n = coo(rng, n=300)
+    m = bcsr_from_coo(s, r, w, n)  # uses native fast path
+    dense = np.zeros((n, n), np.float32)
+    dense[r, s] = w
+    back = bcsr_to_dense(m)[:n, :n]
+    np.testing.assert_allclose(back, dense, atol=1e-6)
+    # tiles sorted by row block
+    row_of = np.asarray(m.row_of)
+    assert np.all(np.diff(row_of) >= 0)
+    # row_ptr consistent
+    rp = np.asarray(m.row_ptr)
+    assert rp[-1] == m.num_tiles
+
+
+def test_khop_bfs_matches_python(rng):
+    s, r, w, n = coo(rng, n=120, p=0.02)
+    indptr, indices, _ = native.coo_to_csr(r, s, n)
+    for src in [0, 17, 119]:
+        got = native.khop_bfs(indptr, indices, src, 3)
+        # python reference
+        mask = np.zeros(n, bool)
+        mask[src] = True
+        frontier = [src]
+        for _ in range(3):
+            nxt = []
+            for u in frontier:
+                for v in indices[indptr[u]:indptr[u + 1]]:
+                    if not mask[v]:
+                        mask[v] = True
+                        nxt.append(int(v))
+            frontier = nxt
+        np.testing.assert_array_equal(got, mask)
+
+
+def test_khop_bfs_batch(rng):
+    s, r, w, n = coo(rng, n=100)
+    indptr, indices, _ = native.coo_to_csr(r, s, n)
+    srcs = np.array([3, 50, 99], np.int32)
+    batch = native.khop_bfs_batch(indptr, indices, srcs, 2)
+    for i, src in enumerate(srcs):
+        np.testing.assert_array_equal(
+            batch[i], native.khop_bfs(indptr, indices, int(src), 2)
+        )
+
+
+def test_sym_normalize_matches_numpy(rng):
+    s, r, w, n = coo(rng)
+    got = native.sym_normalize(r, s, w, n)
+    deg = np.zeros(n)
+    np.add.at(deg, r, w)
+    inv = np.where(deg > 0, 1 / np.sqrt(deg), 0)
+    expected = (w * inv[r] * inv[s]).astype(np.float32)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)

@@ -89,3 +89,35 @@ def test_custom_vjp_gradient(rng):
     # reference gradient: 2 A^T A x
     expected = 2 * dense.T @ (dense @ np.asarray(x)[:n])
     np.testing.assert_allclose(g[:n], expected, rtol=2e-3, atol=1e-2)
+
+
+def test_spmm_empty_row_block(rng):
+    # nodes 128..255 form an isolated block with no edges: the kernel must
+    # still zero-initialize that output block
+    n = 384
+    s = np.array([0, 1, 300, 301], np.int32)
+    r = np.array([1, 0, 301, 300], np.int32)
+    w = np.ones(4, np.float32)
+    from tpugraph.ops.bcsr import bcsr_from_coo
+
+    m = bcsr_from_coo(s, r, w, n)
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y[128:256], 0.0)
+    np.testing.assert_allclose(y[0], x[1], atol=1e-4)
+
+
+def test_spmm_packed_matches_v1(rng):
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_pad_rows
+    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed
+
+    s, r, w, dense, n = random_coo(rng, n=400, p=0.03)
+    m = bcsr_from_coo(s, r, w, n)
+    mp = bcsr_pad_rows(m, 4)
+    assert mp.num_tiles % 4 == 0
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y1 = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    y2 = np.asarray(spmm_bcsr_packed(mp, jnp.asarray(x), k_pack=4,
+                                     interpret=True))
+    np.testing.assert_allclose(y2, y1, atol=1e-3)
+    np.testing.assert_allclose(y2[:n], dense @ x[:n], atol=1e-3)

@@ -258,13 +258,153 @@ def benchmark_task(cfg: Config, log_fn=None, feat: str = "node-label") -> Dict:
     return out
 
 
+def enron_multigraph_task(cfg: Config, log_fn=None) -> Dict:
+    """Enron as 10 separate time-slice graphs with a shared model
+    (reference ``enron_task_multigraph``, ``train.py:745-812``)."""
+    from tpugraph.data.readers import load_enron_slices, ENRON_LABELS
+    from tpugraph.train.multigraph import train_node_classifier_multigraph
+
+    G_list = load_enron_slices(cfg.datadir, input_dim=cfg.input_dim)
+    max_id = max(max(G.nodes()) for G in G_list) + 1
+    labels = []
+    graphs = []
+    feats = []
+    n_pad = ((max_id + 7) // 8) * 8
+    e_pad = max(
+        ((2 * G.number_of_edges() + 7) // 8) * 8 for G in G_list
+    )
+    for G in G_list:
+        G.add_nodes_from(range(max_id))
+        labels.append(
+            [ENRON_LABELS[G.nodes[n].get("role", "None")] for n in sorted(G.nodes())]
+        )
+        g = graph_from_networkx(G, num_nodes_padded=n_pad, num_edges_padded=e_pad)
+        graphs.append(g)
+        feats.append(padded_features(G, g))
+    model = build_node_model(cfg, feats[0].shape[1], max(ENRON_LABELS.values()) + 1)
+    return train_node_classifier_multigraph(
+        model, graphs, np.stack(feats), np.asarray(labels), train_config(cfg),
+        seed=cfg.seed, log_fn=log_fn,
+    )
+
+
+def pkl_task(cfg: Config, log_fn=None) -> Dict:
+    """Graph classification from a pickled (graphs, labels, test_graphs,
+    test_labels) bundle (reference ``pkl_task``, ``train.py:701-742`` —
+    whose 3-way unpack of 6 values is fixed here)."""
+    import pickle
+
+    from tpugraph.data.pipeline import GraphBatcher
+
+    with open(os.path.join(cfg.datadir, cfg.pkl_fname), "rb") as f:
+        data = pickle.load(f)
+    graphs, labels = data[0], data[1]
+    test_graphs = data[2] if len(data) > 2 else []
+    test_labels = data[3] if len(data) > 3 else []
+    for i, G in enumerate(graphs):
+        G.graph["label"] = labels[i]
+    for i, G in enumerate(test_graphs):
+        G.graph["label"] = test_labels[i]
+    const = featgen.ConstFeatureGen(np.ones(cfg.input_dim, dtype=np.float32))
+    for G in list(graphs) + list(test_graphs):
+        first = list(G.nodes())[0]
+        if "feat" not in G.nodes[first]:
+            const.gen_node_features(G)
+    max_nodes = max(G.number_of_nodes() for G in list(graphs) + list(test_graphs))
+    train_b = GraphBatcher(graphs, normalize=False, max_num_nodes=max_nodes,
+                           features=cfg.feature_type)
+    test_b = (
+        GraphBatcher(test_graphs, normalize=False, max_num_nodes=max_nodes,
+                     features=cfg.feature_type)
+        if test_graphs else None
+    )
+    num_classes = int(max(G.graph["label"] for G in graphs)) + 1
+    model = GcnEncoderGraph(
+        input_dim=train_b.feat_dim,
+        hidden_dim=cfg.hidden_dim,
+        embedding_dim=cfg.output_dim,
+        label_dim=num_classes,
+        num_layers=cfg.num_gc_layers,
+        bn=cfg.bn,
+        dropout=cfg.dropout,
+        use_bias=cfg.bias,
+    )
+    from tpugraph.train.loop import train_graph_classifier
+
+    return train_graph_classifier(
+        model, train_b, train_config(cfg), test_batcher=test_b,
+        seed=cfg.seed, log_fn=log_fn,
+    )
+
+
+def benchmark_task_val(cfg: Config, log_fn=None, feat: str = "node-label",
+                       n_splits: int = 10) -> Dict:
+    """10-fold cross-validated graph classification.  The reference's
+    version references an undefined ``cross_val`` module
+    (``train.py:937-987``); this is the working equivalent."""
+    from tpugraph.data.pipeline import GraphBatcher
+    from tpugraph.data.readers import read_graphfile
+    from tpugraph.train.loop import train_graph_classifier
+
+    graphs = read_graphfile(cfg.datadir, cfg.bmname, max_nodes=cfg.max_nodes)
+    first = list(graphs[0])[0]
+    if feat == "node-label" and "label" in graphs[0].nodes[first]:
+        for G in graphs:
+            for u in G.nodes():
+                G.nodes[u]["feat"] = np.asarray(G.nodes[u]["label"],
+                                                dtype=np.float32)
+    else:
+        const = featgen.ConstFeatureGen(np.ones(cfg.input_dim, np.float32))
+        for G in graphs:
+            const.gen_node_features(G)
+    num_classes = max(G.graph["label"] for G in graphs) + 1
+    rng = np.random.default_rng(cfg.seed)
+    order = rng.permutation(len(graphs))
+    folds = np.array_split(order, n_splits)
+    max_nodes = cfg.max_nodes or max(G.number_of_nodes() for G in graphs)
+    all_vals = []
+    for i in range(n_splits):
+        val_idx = folds[i]
+        train_idx = np.concatenate([folds[j] for j in range(n_splits) if j != i])
+        train_b = GraphBatcher([graphs[k] for k in train_idx],
+                               normalize=False, max_num_nodes=max_nodes)
+        val_b = GraphBatcher([graphs[k] for k in val_idx],
+                             normalize=False, max_num_nodes=max_nodes)
+        model = GcnEncoderGraph(
+            input_dim=train_b.feat_dim,
+            hidden_dim=cfg.hidden_dim,
+            embedding_dim=cfg.output_dim,
+            label_dim=num_classes,
+            num_layers=cfg.num_gc_layers,
+            bn=cfg.bn,
+            dropout=cfg.dropout,
+            use_bias=cfg.bias,
+        )
+        out = train_graph_classifier(
+            model, train_b, train_config(cfg), val_batcher=val_b,
+            seed=cfg.seed + i, log_fn=log_fn,
+        )
+        all_vals.append(out["history"]["val_acc"])
+    lens = min(len(v) for v in all_vals)
+    mean_vals = np.mean([v[:lens] for v in all_vals], axis=0)
+    return {
+        "val_acc_mean": mean_vals.tolist(),
+        "best_val_acc": float(np.max(mean_vals)),
+        "best_epoch_idx": int(np.argmax(mean_vals)),
+    }
+
+
 def run_task(cfg: Config, log_fn=None) -> Dict:
     if cfg.bmname is not None:
         return benchmark_task(cfg, log_fn=log_fn)
+    if cfg.pkl_fname is not None:
+        return pkl_task(cfg, log_fn=log_fn)
     if cfg.dataset in gengraph.GENERATORS:
         return syn_task(cfg, log_fn=log_fn)
     if cfg.dataset == "enron":
         return enron_task(cfg, log_fn=log_fn)
+    if cfg.dataset == "enron_multigraph":
+        return enron_multigraph_task(cfg, log_fn=log_fn)
     if cfg.dataset == "ppi_essential":
         return ppi_task(cfg, log_fn=log_fn)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -33,6 +33,14 @@ from tpugraph.explain.module import (
 )
 
 
+def nx_to_numpy(G) -> np.ndarray:
+    """Dense weighted adjacency in G.nodes() order (replaces the
+    deprecated ``nx.to_numpy_matrix`` the reference uses)."""
+    import networkx as nx
+
+    return np.asarray(nx.to_numpy_array(G))
+
+
 class Explainer:
     """Per-checkpoint explanation engine.
 
@@ -81,6 +89,8 @@ class Explainer:
         self.dataset = dataset
         self.print_training = print_training
         self.seed = seed
+        self.align_steps = 1000
+        self.last_alignment = None
 
         self._graphs: Dict[int, Graph] = {}
         self._model_apply = model.apply
@@ -366,6 +376,47 @@ class Explainer:
             "real": real_all,
             "pred": pred_all,
         }
+
+    def explain_nodes(
+        self, node_indices: Sequence[int], graph_idx: int = 0
+    ) -> List[np.ndarray]:
+        """Explain several nodes and align the first two explanation
+        subgraphs with a learned relaxed-permutation matrix (reference
+        ``explain_nodes``, ``explain.py:225-292``)."""
+        from tpugraph.explain.align import align_explanations
+        from tpugraph.viz.graphs import denoise_graph
+
+        results = self.explain_nodes_batch(node_indices, graph_idx)
+        masked_adjs = [r["masked_adj"] for r in results]
+        for r in results:
+            self._save_npy(r["masked_adj"], r["node_idx"])
+        if len(node_indices) < 2:
+            return masked_adjs
+
+        def denoised(res):
+            sub_feat = self.feat[graph_idx][res["neighbors"]]
+            G = denoise_graph(
+                res["masked_adj"], res["node_idx_new"], feat=sub_feat,
+                threshold=0.1,
+            )
+            feat = np.array([G.nodes[n]["feat"] for n in G.nodes()])
+            adj = nx_to_numpy(G)
+            center = list(G.nodes()).index(res["node_idx_new"])
+            return feat, adj, center
+
+        try:
+            ref_feat, ref_adj, ref_c = denoised(results[0])
+            cur_feat, cur_adj, cur_c = denoised(results[1])
+        except ValueError:
+            return masked_adjs  # denoising left no usable subgraph
+        P, aligned_adj, aligned_feat = align_explanations(
+            ref_feat, ref_adj, ref_c, cur_feat, cur_adj, cur_c,
+            num_steps=self.align_steps,
+        )
+        self.last_alignment = {
+            "P": P, "aligned_adj": aligned_adj, "aligned_feat": aligned_feat,
+        }
+        return masked_adjs
 
     def explain_graphs(self, graph_indices: Sequence[int]) -> List[np.ndarray]:
         """Explain several graph predictions (reference

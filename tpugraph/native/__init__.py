@@ -1,0 +1,211 @@
+"""Native host-side graph runtime (C++ via ctypes).
+
+Compiles ``graph_engine.cpp`` on first import (cached as a ``.so`` next
+to the source) and exposes:
+
+* :func:`coo_to_csr` — CSR structure + edge permutation
+* :func:`bcsr_pack` — COO -> BCSR tile packing for the Pallas SpMM
+* :func:`khop_bfs` / :func:`khop_bfs_batch` — neighborhood extraction
+* :func:`sym_normalize` — symmetric degree normalization
+
+Every entry point has a pure-NumPy fallback (used when no C++ toolchain
+is available), selected automatically; ``NATIVE_AVAILABLE`` reports
+which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "graph_engine.cpp")
+_SO = os.path.join(_DIR, "libgraph_engine.so")
+
+_lib = None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    try:
+        if (not os.path.isfile(_SO)) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            cmd = [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                _SRC, "-o", _SO,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SO)
+    except Exception as e:  # toolchain missing / build failure -> fallback
+        print(f"[tpugraph.native] C++ build unavailable ({e}); "
+              f"using NumPy fallback", file=sys.stderr)
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.coo_to_csr.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+                               i32p, i32p, i32p]
+    lib.bcsr_count_tiles.restype = ctypes.c_int64
+    lib.bcsr_count_tiles.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32]
+    lib.bcsr_pack.restype = ctypes.c_int64
+    lib.bcsr_pack.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                              ctypes.c_int32, ctypes.c_int32,
+                              f32p, i32p, i32p, i32p, ctypes.c_int64]
+    lib.khop_bfs.argtypes = [i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+                             ctypes.c_int32, u8p]
+    lib.khop_bfs_batch.argtypes = [i32p, i32p, ctypes.c_int32, i32p,
+                                   ctypes.c_int32, ctypes.c_int32, u8p]
+    lib.sym_normalize.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                  ctypes.c_int32]
+    return lib
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        _lib = _build() or False
+    return _lib or None
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(t)
+
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_F32P = ctypes.POINTER(ctypes.c_float)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def coo_to_csr(
+    rows: np.ndarray, cols: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR (indptr, indices, perm) of the rows->cols structure."""
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    e = rows.shape[0]
+    lib = _get_lib()
+    if lib is not None:
+        indptr = np.zeros(num_nodes + 1, dtype=np.int32)
+        indices = np.zeros(e, dtype=np.int32)
+        perm = np.zeros(e, dtype=np.int32)
+        lib.coo_to_csr(_ptr(rows, _I32P), _ptr(cols, _I32P), e, num_nodes,
+                       _ptr(indptr, _I32P), _ptr(indices, _I32P),
+                       _ptr(perm, _I32P))
+        return indptr, indices, perm
+    # numpy fallback
+    perm = np.argsort(rows, kind="stable").astype(np.int32)
+    indices = cols[perm]
+    counts = np.bincount(rows, minlength=num_nodes)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int32)
+    indptr[1:] = np.cumsum(counts)
+    return indptr, indices, perm
+
+
+def bcsr_pack(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    weights: np.ndarray,
+    num_nodes_padded: int,
+    block: int,
+    pad_tiles_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Pack COO into BCSR arrays: (tiles, col_blk, row_of, row_ptr, t)."""
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    e = rows.shape[0]
+    n_blocks = num_nodes_padded // block
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native bcsr_pack unavailable")
+    t = int(lib.bcsr_count_tiles(_ptr(rows, _I32P), _ptr(cols, _I32P),
+                                 _ptr(weights, _F32P), e, n_blocks, block))
+    t_pad = pad_tiles_to or max(t, 1)
+    if t_pad < t:
+        raise ValueError(f"tile budget too small: {t} > {t_pad}")
+    tiles = np.zeros((t_pad, block, block), dtype=np.float32)
+    col_blk = np.zeros(t_pad, dtype=np.int32)
+    row_of = np.zeros(t_pad, dtype=np.int32)
+    row_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
+    got = int(lib.bcsr_pack(_ptr(rows, _I32P), _ptr(cols, _I32P),
+                            _ptr(weights, _F32P), e, n_blocks, block,
+                            _ptr(tiles, _F32P), _ptr(col_blk, _I32P),
+                            _ptr(row_of, _I32P), _ptr(row_ptr, _I32P),
+                            t_pad))
+    assert got == t, (got, t)
+    return tiles, col_blk, row_of, row_ptr, t
+
+
+def khop_bfs(
+    indptr: np.ndarray, indices: np.ndarray, src: int, k: int
+) -> np.ndarray:
+    """bool[n] mask of nodes within k hops of src (inclusive)."""
+    n = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    lib = _get_lib()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.uint8)
+        lib.khop_bfs(_ptr(indptr, _I32P), _ptr(indices, _I32P), n, src, k,
+                     _ptr(out, _U8P))
+        return out.astype(bool)
+    mask = np.zeros(n, dtype=bool)
+    mask[src] = True
+    frontier = [src]
+    for _ in range(k):
+        nxt = []
+        for u in frontier:
+            for v in indices[indptr[u]:indptr[u + 1]]:
+                if not mask[v]:
+                    mask[v] = True
+                    nxt.append(int(v))
+        frontier = nxt
+    return mask
+
+
+def khop_bfs_batch(
+    indptr: np.ndarray, indices: np.ndarray, srcs: np.ndarray, k: int
+) -> np.ndarray:
+    """bool[q, n] masks for q query nodes."""
+    n = indptr.shape[0] - 1
+    srcs = np.ascontiguousarray(srcs, dtype=np.int32)
+    lib = _get_lib()
+    if lib is not None:
+        indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+        indices = np.ascontiguousarray(indices, dtype=np.int32)
+        out = np.zeros((srcs.shape[0], n), dtype=np.uint8)
+        lib.khop_bfs_batch(_ptr(indptr, _I32P), _ptr(indices, _I32P), n,
+                           _ptr(srcs, _I32P), srcs.shape[0], k,
+                           _ptr(out, _U8P))
+        return out.astype(bool)
+    return np.stack([khop_bfs(indptr, indices, int(s), k) for s in srcs])
+
+
+def sym_normalize(
+    rows: np.ndarray, cols: np.ndarray, weights: np.ndarray, num_nodes: int
+) -> np.ndarray:
+    """w / sqrt(deg_row * deg_col) (in a fresh array)."""
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    w = np.array(weights, dtype=np.float32, copy=True)
+    lib = _get_lib()
+    if lib is not None:
+        lib.sym_normalize(_ptr(rows, _I32P), _ptr(cols, _I32P),
+                          _ptr(w, _F32P), rows.shape[0], num_nodes)
+        return w
+    deg = np.zeros(num_nodes)
+    np.add.at(deg, rows, w)
+    inv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-300)), 0.0)
+    return (w * inv[rows] * inv[cols]).astype(np.float32)

@@ -62,6 +62,29 @@ def bcsr_from_coo(
     n_pad = ((num_nodes + block - 1) // block) * block
     n_blocks = n_pad // block
 
+    # Fast path: native C++ tile packer (tpugraph.native), ~100x the
+    # Python loop below on million-edge graphs.
+    try:
+        from tpugraph import native
+
+        if native.native_available():
+            tiles, col_blk, row_of, row_ptr, _ = native.bcsr_pack(
+                r, s, w, n_pad, block, pad_tiles_to
+            )
+            out = BCSR(
+                tiles=jnp.asarray(tiles),
+                col_blk=jnp.asarray(col_blk),
+                row_of=jnp.asarray(row_of),
+                row_ptr=jnp.asarray(row_ptr),
+                num_nodes=n_pad,
+                block=block,
+            )
+            return _ensure_no_empty_rows(out, np.diff(row_ptr))
+    except ValueError:
+        raise
+    except Exception:
+        pass  # fall through to the NumPy implementation
+
     rb = r // block
     cb = s // block
     keys = rb.astype(np.int64) * n_blocks + cb
@@ -99,7 +122,7 @@ def bcsr_from_coo(
     counts[n_blocks - 1] += t_pad - t
     row_ptr[1:] = np.cumsum(counts)
 
-    return BCSR(
+    out = BCSR(
         tiles=jnp.asarray(tiles),
         col_blk=jnp.asarray(col_blk),
         row_ptr=jnp.asarray(row_ptr),
@@ -107,6 +130,7 @@ def bcsr_from_coo(
         num_nodes=n_pad,
         block=block,
     )
+    return _ensure_no_empty_rows(out, counts)
 
 
 def bcsr_transpose_host(
@@ -122,6 +146,59 @@ def bcsr_transpose_host(
     symmetry in general."""
     return bcsr_from_coo(
         receivers, senders, weights, num_nodes, block, pad_tiles_to
+    )
+
+
+def _ensure_no_empty_rows(m: BCSR, counts: np.ndarray) -> BCSR:
+    """The tile-walking SpMM kernel only writes output blocks visited by
+    at least one tile; a row block with zero tiles would leave its output
+    uninitialized.  Insert one dead tile (zero values, col 0) per empty
+    row block."""
+    if not np.any(np.asarray(counts) == 0):
+        return m
+    return bcsr_pad_rows(m, 1)
+
+
+def bcsr_pad_rows(m: BCSR, k_pack: int) -> BCSR:
+    """Pad each row block's tile list with dead tiles (zero values,
+    col 0) so every row's count is a multiple of ``k_pack`` — required by
+    the packed SpMM kernel, which assumes one output row per grid step."""
+    row_ptr = np.asarray(m.row_ptr)
+    row_of = np.asarray(m.row_of)
+    col_blk = np.asarray(m.col_blk)
+    tiles = np.asarray(m.tiles)
+    n_blocks = m.num_row_blocks
+    b = m.block
+
+    counts = np.diff(row_ptr)
+    new_counts = ((counts + k_pack - 1) // k_pack) * k_pack
+    # Rows with zero tiles stay zero EXCEPT we must ensure every row that
+    # appears keeps ordering; rows with 0 tiles simply never get visited
+    # (their output blocks are never written!) — so give empty rows one
+    # k_pack group of dead tiles to zero their output.
+    new_counts = np.where(new_counts == 0, k_pack, new_counts)
+    t_new = int(new_counts.sum())
+
+    new_tiles = np.zeros((t_new, b, b), dtype=np.float32)
+    new_col = np.zeros(t_new, dtype=np.int32)
+    new_row = np.zeros(t_new, dtype=np.int32)
+    new_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
+    new_ptr[1:] = np.cumsum(new_counts)
+    for rb in range(n_blocks):
+        lo, hi = row_ptr[rb], row_ptr[rb + 1]
+        dst = new_ptr[rb]
+        cnt = hi - lo
+        if cnt > 0:
+            new_tiles[dst : dst + cnt] = tiles[lo:hi]
+            new_col[dst : dst + cnt] = col_blk[lo:hi]
+        new_row[new_ptr[rb] : new_ptr[rb + 1]] = rb
+    return BCSR(
+        tiles=jnp.asarray(new_tiles),
+        col_blk=jnp.asarray(new_col),
+        row_ptr=jnp.asarray(new_ptr),
+        row_of=jnp.asarray(new_row),
+        num_nodes=m.num_nodes,
+        block=b,
     )
 
 

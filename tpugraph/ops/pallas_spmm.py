@@ -139,6 +139,90 @@ def sddmm_bcsr(
     )(m.row_of, m.col_blk, dy, x, m.tiles)
 
 
+def _spmm_packed_kernel_factory(k_pack: int, block: int, d: int):
+    def kernel(row_ref, col_ref, tiles_ref, x_hbm, out_ref, xbuf, sems):
+        i = pl.program_id(0)
+        base = i * k_pack
+        row = row_ref[base]
+        prev_row = row_ref[jnp.maximum(base - 1, 0)]
+        is_first = jnp.logical_or(i == 0, row != prev_row)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(col_ref[base + j] * block, block), :],
+                xbuf.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < k_pack)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            out_ref[:] += jnp.dot(
+                tiles_ref[j], xbuf[slot], preferred_element_type=jnp.float32
+            )
+
+        jax.lax.fori_loop(0, k_pack, body, None)
+
+    return kernel
+
+
+def spmm_bcsr_packed(
+    m: BCSR,
+    x: jax.Array,
+    k_pack: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """SpMM v2: ``k_pack`` tiles per grid step with double-buffered manual
+    DMA of the x-blocks from HBM — amortizes per-step pipeline overhead.
+
+    Requires each row block's tile count to be a multiple of ``k_pack``
+    (use :func:`tpugraph.ops.bcsr.bcsr_pad_rows`)."""
+    n, d = x.shape
+    assert n == m.num_nodes
+    assert d % LANES == 0
+    b = m.block
+    t = m.num_tiles
+    assert t % k_pack == 0, f"pad tiles per row to a multiple of {k_pack}"
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t // k_pack,),
+        in_specs=[
+            pl.BlockSpec((k_pack, b, b), lambda i, row, col: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _spmm_packed_kernel_factory(k_pack, b, d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * b * d,
+            bytes_accessed=t * b * b * 4 + t * b * d * 4 + n * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m.row_of, m.col_blk, m.tiles, x)
+
+
 def make_bcsr_matvec(
     m: BCSR, m_t: BCSR, interpret: Optional[bool] = None
 ) -> Callable[[jax.Array], jax.Array]:
