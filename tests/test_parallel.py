@@ -79,3 +79,24 @@ def test_sharded_train_step_loss_decreases(mesh8):
         params, opt_state, loss = step(params, opt_state, gs, x, y, mask)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_explainer_query_sharding(mesh8):
+    """Explainer queries sharded over the mesh give the same masks."""
+    from tpugraph.cli.config import Config
+    from tpugraph.cli.tasks import syn_task, build_node_model
+    from tpugraph.explain import Explainer
+
+    cfg = Config(dataset="syn1", num_epochs=50, eval_every=50)
+    out = syn_task(cfg)
+    cg = out["cg"]
+    model = build_node_model(cfg, cg["feat"].shape[2], cg["pred"].shape[2])
+    ex = Explainer(model, out["params"], cg["adj"], cg["feat"], cg["label"],
+                   cg["pred"], n_hops=3, dataset="syn1")
+    nodes = [400, 405, 410]  # not a multiple of 8 -> exercises padding
+    single = ex.explain_nodes_batch(nodes)
+    sharded = ex.explain_nodes_batch(nodes, mesh=mesh8)
+    assert len(sharded) == len(nodes)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["masked_adj"], b["masked_adj"],
+                                   atol=1e-4)

@@ -155,13 +155,25 @@ class Explainer:
     # ------------------------------------------------------- batched explain
 
     def explain_nodes_batch(
-        self, node_indices: Sequence[int], graph_idx: int = 0
+        self, node_indices: Sequence[int], graph_idx: int = 0,
+        mesh=None,
     ) -> List[Dict]:
         """Explain many nodes in one vmapped device call.
+
+        With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the query axis is
+        sharded over the mesh — per-node mask optimizations are
+        embarrassingly parallel, so explanation throughput scales
+        linearly with chips (the reference explains nodes one by one in
+        Python, ``explain.py:295-299``).
 
         Returns a list of dicts with ``masked_adj`` (dense subgraph
         contract), ``neighbors``, ``node_idx_new``, and the loss history.
         """
+        n_query_real = len(node_indices)
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            pad = (-len(node_indices)) % n_dev
+            node_indices = list(node_indices) + [node_indices[-1]] * pad
         g = self._graph(graph_idx)
         x = jnp.asarray(self._padded_feat(graph_idx, g))
         pred_vec = jnp.asarray(self._pred_labels(graph_idx, g))
@@ -190,8 +202,7 @@ class Explainer:
             graph_mode=False,
         )
 
-        @jax.jit
-        def batch_run(node_idx, gt, edge_keep, n_sub, key):
+        def batch_fn(node_idx, gt, edge_keep, n_sub, key):
             def one(ni, gt_i, keep_i, ns_i, k_i):
                 state, hist = run(
                     node_idx=ni,
@@ -206,10 +217,22 @@ class Explainer:
 
             return jax.vmap(one)(node_idx, gt, edge_keep, n_sub, key)
 
+        args = (idxs, gts, nbs.edge_mask, nbs.num_nodes, keys)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = tuple(mesh.shape.keys())[0]
+            qshard = NamedSharding(mesh, P(axis))
+            args = tuple(jax.device_put(a, qshard) for a in args)
+            batch_run = jax.jit(
+                batch_fn,
+                in_shardings=(qshard,) * 5,
+            )
+        else:
+            batch_run = jax.jit(batch_fn)
+
         t0 = time.time()
-        states, w_all, hist = batch_run(
-            idxs, gts, nbs.edge_mask, nbs.num_nodes, keys
-        )
+        states, w_all, hist = batch_run(*args)
         w_all = np.asarray(w_all)
         elapsed = time.time() - t0
         if self.print_training:
@@ -221,7 +244,7 @@ class Explainer:
         results = []
         node_mask_np = np.asarray(nbs.node_mask)
         new_idx_np = np.asarray(nbs.new_index)
-        for q, node_idx in enumerate(node_indices):
+        for q, node_idx in enumerate(node_indices[:n_query_real]):
             neighbors = np.nonzero(node_mask_np[q])[0]
             dense = self._densify_mask(g, w_all[q], neighbors)
             results.append(

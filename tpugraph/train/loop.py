@@ -121,13 +121,19 @@ def train_node_classifier(
     tx = build_optimizer(_opt_config(cfg))
     opt_state = tx.init(params)
 
-    def loss_fn(p):
-        logits, _ = model.apply(p, x, sp, deterministic=False)
+    has_dropout = getattr(model, "dropout", 0.0) > 0.001
+
+    def loss_fn(p, key):
+        rngs = {"dropout": key} if has_dropout else None
+        logits, _ = model.apply(p, x, sp, deterministic=False, rngs=rngs)
         return node_cross_entropy(logits, y, class_weight=cw, node_mask=train_mask_d), logits
 
     def epoch_step(carry, _):
-        p, s = carry
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        p, s, key = carry
+        key, sub = jax.random.split(key)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, sub
+        )
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
         pred_lab = jnp.argmax(logits, axis=-1)
@@ -138,21 +144,22 @@ def train_node_classifier(
         test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
             jnp.sum(test_mask_d), 1.0
         )
-        return (p, s), (loss, train_acc, test_acc)
+        return (p, s, key), (loss, train_acc, test_acc)
 
     from functools import partial
 
     @partial(jax.jit, static_argnames="length")
-    def run_chunk(p, s, length):
-        return jax.lax.scan(epoch_step, (p, s), None, length=length)
+    def run_chunk(p, s, key, length):
+        return jax.lax.scan(epoch_step, (p, s, key), None, length=length)
 
     history: Dict[str, List[float]] = {"loss": [], "train_acc": [], "test_acc": []}
     begin = time.time()
     done = 0
+    drop_key = jax.random.PRNGKey(seed + 1)
     while done < cfg.num_epochs:
         chunk = min(cfg.scan_chunk, cfg.num_epochs - done)
-        (params, opt_state), (losses, tr_acc, te_acc) = run_chunk(
-            params, opt_state, chunk
+        (params, opt_state, drop_key), (losses, tr_acc, te_acc) = run_chunk(
+            params, opt_state, drop_key, chunk
         )
         done += chunk
         history["loss"].extend(np.asarray(losses).tolist())
@@ -213,10 +220,14 @@ def train_graph_classifier(
     first = train_batcher.batch(np.arange(min(len(train_batcher), cfg.batch_size)))
     uses_assign = linkpred or getattr(model, "assign_hidden_dim", None) is not None
 
-    def apply_model(p, batch_adj, batch_x, batch_mask, batch_assign):
+    def apply_model(p, batch_adj, batch_x, batch_mask, batch_assign, key=None):
         kwargs = {"node_mask": batch_mask}
         if uses_assign:
             kwargs["assign_x"] = batch_assign
+        if key is not None:
+            kwargs["deterministic"] = False
+            if getattr(model, "dropout", 0.0) > 0.001:
+                kwargs["rngs"] = {"dropout": key}
         return model.apply(p, batch_x, batch_adj, **kwargs)
 
     params = model.init(
@@ -233,10 +244,12 @@ def train_graph_classifier(
     )
     opt_state = tx.init(params)
 
+    has_dropout = getattr(model, "dropout", 0.0) > 0.001
+
     @jax.jit
-    def step(p, s, adj, xb, mask, assign, label):
+    def step(p, s, key, adj, xb, mask, assign, label):
         def loss_fn(p):
-            logits, aux = apply_model(p, adj, xb, mask, assign)
+            logits, aux = apply_model(p, adj, xb, mask, assign, key)
             loss = softmax_cross_entropy(logits, label)
             if linkpred and isinstance(aux, (list, tuple)) and len(aux) > 0:
                 loss = loss + link_prediction_loss(aux[0], adj, mask)
@@ -284,9 +297,11 @@ def train_graph_classifier(
         for bi, batch in enumerate(
             train_batcher.batches(cfg.batch_size, shuffle=True, rng=rng)
         ):
+            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch * 10000 + bi)
             params, opt_state, loss, logits = step(
                 params,
                 opt_state,
+                step_key,
                 jnp.asarray(batch.adj),
                 jnp.asarray(batch.feats),
                 jnp.asarray(batch.node_mask),
