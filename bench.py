@@ -56,7 +56,8 @@ def time_fn(fn, *args, iters=20, warmup=2, tag=""):
         out = fn(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    log(f"[{tag}] median {np.median(times)*1e3:.3f} ms over {iters} iters")
+    log(f"[{tag}] median {np.median(times)*1e3:.3f} ms over {iters} iters; "
+        f"all: {[round(t*1e3, 3) for t in times]}")
     return float(np.median(times))
 
 
@@ -65,7 +66,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
-    from tpugraph.ops.pallas_spmm import make_bcsr_matvec
+    from tpugraph.ops.pallas_spmm import bcsr_matvec
     from tpugraph.ops.message import spmm
 
     platform = jax.devices()[0].platform
@@ -91,13 +92,20 @@ def main() -> None:
         np.random.default_rng(1).standard_normal((m.num_nodes, d)).astype(np.float32)
     )
 
-    matvec = make_bcsr_matvec(m, m_t, interpret=not on_tpu)
+    from functools import partial
 
-    @jax.jit
-    def pallas_fwd_bwd(x):
-        y, vjp = jax.vjp(matvec, x)
+    interp = not on_tpu
+
+    # BCSR passed as jit ARGUMENTS (closure constants cost ~150x dispatch
+    # and can exceed the compile payload limit).
+    @partial(jax.jit, static_argnames="interpret")
+    def pallas_fwd_bwd_args(m, m_t, x, interpret=False):
+        y, vjp = jax.vjp(lambda xx: bcsr_matvec(m, m_t, xx, interpret), x)
         (dx,) = vjp(y)
         return y, dx
+
+    def pallas_fwd_bwd(x):
+        return pallas_fwd_bwd_args(m, m_t, x, interp)
 
     s_d = jnp.asarray(s)
     r_d = jnp.asarray(r)
@@ -105,16 +113,25 @@ def main() -> None:
     n_pad = m.num_nodes
     x_coo = x
 
-    def coo_matvec(x):
-        return spmm(s_d, r_d, w_d, x, num_nodes=n_pad)
-
     @jax.jit
-    def coo_fwd_bwd(x):
+    def coo_fwd_bwd_args(s_a, r_a, w_a, x):
+        def coo_matvec(xx):
+            return spmm(s_a, r_a, w_a, xx, num_nodes=n_pad)
+
         y, vjp = jax.vjp(coo_matvec, x)
         (dx,) = vjp(y)
         return y, dx
 
-    # correctness cross-check before timing
+    def coo_fwd_bwd(x):
+        return coo_fwd_bwd_args(s_d, r_d, w_d, x)
+
+    # correctness cross-check before timing.  NOTE: one single jitted
+    # function — any eager op in this environment triggers a separate
+    # remote compile costing minutes.
+    @jax.jit
+    def rel_err(yp, yc):
+        return jnp.max(jnp.abs(yp - yc)) / (jnp.max(jnp.abs(yc)) + 1e-9)
+
     log("compiling pallas fwd+bwd...")
     t0 = time.perf_counter()
     yp, _ = pallas_fwd_bwd(x)
@@ -124,8 +141,7 @@ def main() -> None:
     yc, _ = coo_fwd_bwd(x_coo)
     _jax.block_until_ready(yc)
     log(f"coo compile+first run: {time.perf_counter()-t0:.1f}s")
-    scale = float(jnp.max(jnp.abs(yc))) + 1e-9
-    err = float(jnp.max(jnp.abs(yp - yc))) / scale
+    err = float(rel_err(yp, yc))
     log(f"pallas vs coo max relative err: {err:.2e}")
     # MXU matmuls run at TPU default precision (bf16 passes); the COO path
     # accumulates in exact f32 — ~1% relative difference is expected.

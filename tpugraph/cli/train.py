@@ -14,12 +14,24 @@ from tpugraph.cli.tasks import run_task
 
 
 def main(argv=None) -> None:
+    import os
+
+    from tpugraph.train.checkpoint import gen_prefix
+    from tpugraph.utils.tb_writer import SummaryWriter
+
     cfg = parse_train_args(argv)
     apply_platform(cfg)
+
+    prefix = gen_prefix(cfg.name, cfg.method, cfg.hidden_dim, cfg.output_dim,
+                        cfg.bias, cfg.name_suffix)
+    writer = SummaryWriter(os.path.join(cfg.logdir, prefix))
 
     def log_fn(epoch, scalars):
         msg = "; ".join(f"{k}: {v:.4f}" for k, v in scalars.items())
         print(f"epoch {epoch}: {msg}", flush=True)
+        for k, v in scalars.items():
+            tag = "loss/avg_loss" if k == "loss" else f"acc/{k}"
+            writer.add_scalar(tag, v, step=epoch)
 
     out = run_task(cfg, log_fn=log_fn)
     summary = {
@@ -36,6 +48,7 @@ def main(argv=None) -> None:
     if "result_train" in out:
         print("train conf_mat:\n", out["result_train"]["conf_mat"])
         print("test conf_mat:\n", out["result_test"]["conf_mat"])
+    writer.close()
     print(json.dumps(summary, indent=2, default=float))
 
 

@@ -156,7 +156,7 @@ class Explainer:
 
     def explain_nodes_batch(
         self, node_indices: Sequence[int], graph_idx: int = 0,
-        mesh=None,
+        mesh=None, unconstrained: bool = False,
     ) -> List[Dict]:
         """Explain many nodes in one vmapped device call.
 
@@ -200,6 +200,7 @@ class Explainer:
             cfg=self.cfg,
             num_pairs=num_pairs,
             graph_mode=False,
+            unconstrained=unconstrained,
         )
 
         def batch_fn(node_idx, gt, edge_keep, n_sub, key):
@@ -212,7 +213,9 @@ class Explainer:
                     num_sub_nodes=ns_i,
                     key=k_i,
                 )
-                w = masked_edge_weights(g, state, self.cfg, keep_i)
+                w = masked_edge_weights(
+                    g, state, self.cfg, keep_i, unconstrained=unconstrained
+                )
                 return state, w, hist
 
             return jax.vmap(one)(node_idx, gt, edge_keep, n_sub, key)
@@ -298,7 +301,9 @@ class Explainer:
                 self._model_apply, self.params, sub_adj, sub_feat
             )
         else:
-            res = self.explain_nodes_batch([node_idx], graph_idx)[0]
+            res = self.explain_nodes_batch(
+                [node_idx], graph_idx, unconstrained=unconstrained
+            )[0]
             masked_adj = res["masked_adj"]
         self._save_npy(masked_adj, node_idx)
         return masked_adj

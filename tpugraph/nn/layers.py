@@ -41,7 +41,18 @@ class SparseAdj(NamedTuple):
     weight: jax.Array     # float32[E_pad]
 
 
-Adjacency = Union[jax.Array, SparseAdj]
+class BCSRAdj(NamedTuple):
+    """Block-sparse adjacency pair (A, A^T) for the Pallas MXU fast path
+    (``tpugraph.ops.pallas_spmm``).  Build with
+    ``tpugraph.ops.bcsr.bcsr_from_coo`` / ``bcsr_transpose_host``.
+    Feature dims are lane-padded to 128 internally.  GAT attention is not
+    supported on this path (use SparseAdj)."""
+
+    m: "object"    # BCSR
+    m_t: "object"  # BCSR of A^T
+
+
+Adjacency = Union[jax.Array, SparseAdj, BCSRAdj]
 
 
 class GraphConv(nn.Module):
@@ -85,7 +96,22 @@ class GraphConv(nn.Module):
         if self.dropout > 0.001 and not deterministic:
             x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
 
-        if isinstance(adj, SparseAdj):
+        if isinstance(adj, BCSRAdj):
+            if self.att:
+                raise NotImplementedError(
+                    "GAT attention is not supported on the BCSR path; "
+                    "use SparseAdj"
+                )
+            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+
+            d_in = x.shape[-1]
+            d_pad = ((d_in + LANES - 1) // LANES) * LANES
+            x_p = x
+            if d_pad != d_in:
+                x_p = jnp.pad(x, ((0, 0), (0, d_pad - d_in)))
+            y = bcsr_matvec(adj.m, adj.m_t, x_p)[:, :d_in]
+            adj_att: Adjacency = adj
+        elif isinstance(adj, SparseAdj):
             if self.att:
                 x_att = jnp.matmul(x, att_weight, preferred_element_type=jnp.float32)
                 scores = sddmm(adj.senders, adj.receivers, x_att, x_att)

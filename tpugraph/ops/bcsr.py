@@ -26,7 +26,17 @@ import jax
 import jax.numpy as jnp
 
 
-class BCSR(NamedTuple):
+import dataclasses
+
+
+@dataclasses.dataclass
+class BCSR:
+    """Registered pytree: the four arrays are leaves; ``num_nodes`` and
+    ``block`` are static metadata, so a BCSR can be passed straight
+    through ``jit`` boundaries (do this — closing over the tile array
+    bakes hundreds of MB of constants into the HLO and costs ~150x in
+    dispatch)."""
+
     tiles: jax.Array     # float32[T, B, B]
     col_blk: jax.Array   # int32[T]
     row_ptr: jax.Array   # int32[R+1]
@@ -41,6 +51,19 @@ class BCSR(NamedTuple):
     @property
     def num_row_blocks(self) -> int:
         return self.row_ptr.shape[0] - 1
+
+    def __iter__(self):  # keep NamedTuple-style unpacking working
+        return iter(
+            (self.tiles, self.col_blk, self.row_ptr, self.row_of,
+             self.num_nodes, self.block)
+        )
+
+
+jax.tree_util.register_dataclass(
+    BCSR,
+    data_fields=["tiles", "col_blk", "row_ptr", "row_of"],
+    meta_fields=["num_nodes", "block"],
+)
 
 
 def bcsr_from_coo(
