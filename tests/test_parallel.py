@@ -100,3 +100,25 @@ def test_explainer_query_sharding(mesh8):
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a["masked_adj"], b["masked_adj"],
                                    atol=1e-4)
+
+
+def test_node_partitioned_spmm(rng, mesh8):
+    from tpugraph.parallel.spmd import (
+        partition_edges_by_receiver,
+        sharded_spmm_node_partitioned,
+    )
+
+    n = 96
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    gp, ns = partition_edges_by_receiver(g, 8)
+    assert ns * 8 >= g.num_nodes_padded
+    x = rng.standard_normal((ns * 8, 6)).astype(np.float32)
+    y_ref = np.asarray(spmm(g.senders, g.receivers, g.edge_weight,
+                            jnp.asarray(x[: g.num_nodes_padded])))
+    f = sharded_spmm_node_partitioned(mesh8)
+    y = np.asarray(f(gp.senders, gp.receivers, gp.edge_weight,
+                     jnp.asarray(x)))
+    np.testing.assert_allclose(y[: g.num_nodes_padded], y_ref, atol=1e-4)

@@ -82,6 +82,85 @@ def sharded_spmm(
     )
 
 
+def partition_edges_by_receiver(
+    g: Graph, n_dev: int
+) -> Tuple[Graph, int]:
+    """Host-side edge partitioning by receiver shard for node-partitioned
+    SPMD: nodes are split into ``n_dev`` contiguous shards; each shard
+    owns the edges that TARGET its nodes (receivers remapped to local
+    indices).  Every shard is padded to the max shard edge count so the
+    result is one flat, evenly-shardable edge list.
+
+    Returns ``(graph, shard_size)`` where the graph's receiver array holds
+    LOCAL indices and nodes are padded to a multiple of ``n_dev``.
+    """
+    n_pad = ((g.num_nodes_padded + n_dev - 1) // n_dev) * n_dev
+    ns = n_pad // n_dev
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    w = np.asarray(g.edge_weight)
+    p = np.asarray(g.edge_pair)
+    live = w != 0
+    shard_of = r // ns
+    e_max = 0
+    per_shard = []
+    for d in range(n_dev):
+        idx = np.nonzero(live & (shard_of == d))[0]
+        per_shard.append(idx)
+        e_max = max(e_max, len(idx))
+    e_max = max(((e_max + 7) // 8) * 8, 8)
+
+    S = np.zeros((n_dev, e_max), np.int32)
+    R = np.zeros((n_dev, e_max), np.int32)
+    W = np.zeros((n_dev, e_max), np.float32)
+    Pr = np.full((n_dev, e_max), n_dev * e_max, np.int32)
+    for d, idx in enumerate(per_shard):
+        k = len(idx)
+        S[d, :k] = s[idx]
+        R[d, :k] = r[idx] - d * ns  # local receiver index
+        W[d, :k] = w[idx]
+        Pr[d, :k] = p[idx]
+    node_mask = np.zeros((n_pad,), np.float32)
+    node_mask[: int(g.n_node)] = 1.0
+    out = Graph(
+        senders=jnp.asarray(S.reshape(-1)),
+        receivers=jnp.asarray(R.reshape(-1)),
+        edge_weight=jnp.asarray(W.reshape(-1)),
+        node_mask=jnp.asarray(node_mask),
+        n_node=g.n_node,
+        n_edge=g.n_edge,
+        edge_pair=jnp.asarray(Pr.reshape(-1)),
+    )
+    return out, ns
+
+
+def sharded_spmm_node_partitioned(
+    mesh: Mesh, axis: str = "data"
+) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Node-partitioned sparse aggregation: node features AND outputs live
+    sharded across the mesh (memory scales 1/n_dev); each device
+    all-gathers sender features over ICI (the halo, currently the full
+    feature matrix — boundary-only exchange is the planned refinement)
+    and segment-sums its receiver-local edge shard.
+
+    ``f(senders, receivers_local, weights, x_sharded) -> y_sharded``
+    with edge arrays from :func:`partition_edges_by_receiver`.
+    """
+
+    def local_agg(s, r_loc, w, x_local):
+        xg = jax.lax.all_gather(x_local, axis, tiled=True)  # [N, D]
+        msgs = xg[s] * w[:, None]
+        return jax.ops.segment_sum(msgs, r_loc, num_segments=x_local.shape[0])
+
+    return shard_map(
+        local_agg,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+
+
 def make_sharded_node_train_step(
     model,
     tx: optax.GradientTransformation,
