@@ -5,12 +5,20 @@ Driver contract: prints ONE JSON line
 
 The workload is the hot op of every GNN layer — sparse neighborhood
 aggregation ``y = A @ x`` plus its backward ``dx = A^T @ dy`` — on a
-locality-rich graph (banded + random long-range edges, the structure of
-the framework's motif/PPI graphs after node ordering).  The Pallas BCSR
+locality-rich graph (banded random edges, the structure of the
+framework's motif/PPI graphs after node ordering).  The Pallas BCSR
 kernel (``tpugraph/ops/pallas_spmm.py``) is measured against the XLA
 gather/``segment_sum`` COO path on the same chip; the reference
 implementation's dense ``[N, N] @ [N, D]`` matmul (models.py:70) cannot
 even materialize at this graph size.
+
+Measurement methodology: ONE jitted ``lax.scan`` chaining K dependent
+fwd+bwd pairs entirely on device, fenced by a scalar checksum.  Host-side
+per-call timing on this platform is contaminated by dispatch/relay
+overhead (measured 29 ms/call vs 2.1 ms true device time) and async
+fencing artifacts (0.12 ms "timings" exceeding HBM bandwidth); the
+chained scan is immune to both.  Cross-path checksum equality guards
+correctness.
 
 ``vs_baseline`` = pallas_edges_per_s / xla_coo_edges_per_s  (same chip).
 """
@@ -43,6 +51,8 @@ def make_banded_graph(n: int, deg: int, bandwidth: int, seed: int = 0):
 
 
 def time_fn(fn, *args, iters=20, warmup=2, tag=""):
+    """Per-call timing with block_until_ready fencing (kept for host-side
+    comparisons; the headline numbers use the chained-scan method)."""
     import jax
 
     t0 = time.perf_counter()
@@ -56,8 +66,7 @@ def time_fn(fn, *args, iters=20, warmup=2, tag=""):
         out = fn(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    log(f"[{tag}] median {np.median(times)*1e3:.3f} ms over {iters} iters; "
-        f"all: {[round(t*1e3, 3) for t in times]}")
+    log(f"[{tag}] median {np.median(times)*1e3:.3f} ms over {iters} iters")
     return float(np.median(times))
 
 
@@ -66,7 +75,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
-    from tpugraph.ops.pallas_spmm import bcsr_matvec
+    from tpugraph.ops.pallas_spmm import spmm_bcsr
     from tpugraph.ops.message import spmm
 
     platform = jax.devices()[0].platform
@@ -74,12 +83,12 @@ def main() -> None:
     log(f"platform: {platform}, device: {jax.devices()[0]}")
 
     if on_tpu:
-        n, deg, bw, d = 65536, 32, 192, 128
+        n, deg, bw, d, K, reps = 65536, 32, 192, 128, 50, 3
     else:
         # CPU smoke config: the Pallas interpreter is orders of magnitude
-        # slower, keep it tiny just to validate the harness end-to-end.
-        n, deg, bw, d = 1024, 8, 192, 128
-    s, r, w, = make_banded_graph(n, deg, bw)
+        # slower; keep it tiny just to validate the harness end-to-end.
+        n, deg, bw, d, K, reps = 1024, 8, 192, 128, 2, 1
+    s, r, w = make_banded_graph(n, deg, bw)
     num_edges = s.shape[0]
     log(f"graph: {n} nodes, {num_edges} directed edges, feature dim {d}")
 
@@ -91,71 +100,64 @@ def main() -> None:
     x = jnp.asarray(
         np.random.default_rng(1).standard_normal((m.num_nodes, d)).astype(np.float32)
     )
+    interp = not on_tpu
 
     from functools import partial
 
-    interp = not on_tpu
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_pallas(m, m_t, x, k):
+        def body(xc, _):
+            y = spmm_bcsr(m, xc, interpret=interp)
+            dx = spmm_bcsr(m_t, y, interpret=interp)
+            xc = dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return xc, ()
 
-    # BCSR passed as jit ARGUMENTS (closure constants cost ~150x dispatch
-    # and can exceed the compile payload limit).
-    @partial(jax.jit, static_argnames="interpret")
-    def pallas_fwd_bwd_args(m, m_t, x, interpret=False):
-        y, vjp = jax.vjp(lambda xx: bcsr_matvec(m, m_t, xx, interpret), x)
-        (dx,) = vjp(y)
-        return y, dx
+        xf, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(xf)
 
-    def pallas_fwd_bwd(x):
-        return pallas_fwd_bwd_args(m, m_t, x, interp)
+    sd, rd, wd = jnp.asarray(s), jnp.asarray(r), jnp.asarray(w)
 
-    s_d = jnp.asarray(s)
-    r_d = jnp.asarray(r)
-    w_d = jnp.asarray(w)
-    n_pad = m.num_nodes
-    x_coo = x
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_coo(sd, rd, wd, x, k):
+        def body(xc, _):
+            y = spmm(sd, rd, wd, xc, num_nodes=x.shape[0])
+            dx = spmm(rd, sd, wd, y, num_nodes=x.shape[0])
+            xc = dx * jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return xc, ()
 
-    @jax.jit
-    def coo_fwd_bwd_args(s_a, r_a, w_a, x):
-        def coo_matvec(xx):
-            return spmm(s_a, r_a, w_a, xx, num_nodes=n_pad)
+        xf, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(xf)
 
-        y, vjp = jax.vjp(coo_matvec, x)
-        (dx,) = vjp(y)
-        return y, dx
+    def run(tag, fn, args):
+        t0 = time.perf_counter()
+        out = fn(*args, k=K)
+        out.block_until_ready()
+        first = time.perf_counter() - t0
+        checksum = float(out)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args, k=K)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        per_iter = min(times) / K
+        log(f"[{tag}] compile+first {first:.1f}s; {min(times)*1e3:.1f} ms / "
+            f"{K} chained fwd+bwd = {per_iter*1e3:.3f} ms/iter "
+            f"(checksum {checksum:.4e})")
+        return per_iter, checksum
 
-    def coo_fwd_bwd(x):
-        return coo_fwd_bwd_args(s_d, r_d, w_d, x)
+    t_pallas, cks_p = run("pallas", chained_pallas, (m, m_t, x))
+    t_coo, cks_c = run("coo", chained_coo, (sd, rd, wd, x))
 
-    # correctness cross-check before timing.  NOTE: one single jitted
-    # function — any eager op in this environment triggers a separate
-    # remote compile costing minutes.
-    @jax.jit
-    def rel_err(yp, yc):
-        return jnp.max(jnp.abs(yp - yc)) / (jnp.max(jnp.abs(yc)) + 1e-9)
+    # correctness guard: after K renormalized iterations both paths must
+    # land on (numerically) the same checksum.
+    rel = abs(cks_p - cks_c) / (abs(cks_c) + 1e-9)
+    log(f"checksum rel diff: {rel:.2e}")
+    assert rel < 5e-2, "pallas/coo divergence"
 
-    log("compiling pallas fwd+bwd...")
-    t0 = time.perf_counter()
-    yp, _ = pallas_fwd_bwd(x)
-    import jax as _jax; _jax.block_until_ready(yp)
-    log(f"pallas compile+first run: {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    yc, _ = coo_fwd_bwd(x_coo)
-    _jax.block_until_ready(yc)
-    log(f"coo compile+first run: {time.perf_counter()-t0:.1f}s")
-    err = float(rel_err(yp, yc))
-    log(f"pallas vs coo max relative err: {err:.2e}")
-    # MXU matmuls run at TPU default precision (bf16 passes); the COO path
-    # accumulates in exact f32 — ~1% relative difference is expected.
-    assert err < 5e-2, "pallas kernel mismatch"
-
-    iters = 10 if on_tpu else 3
-    t_pallas = time_fn(pallas_fwd_bwd, x, iters=iters, tag="pallas")
-    t_coo = time_fn(coo_fwd_bwd, x_coo, iters=iters, tag="coo")
-
-    # fwd+bwd touches each edge twice (A and A^T)
     pallas_eps = 2 * num_edges / t_pallas
     coo_eps = 2 * num_edges / t_coo
-    log(f"pallas: {t_pallas*1e3:.3f} ms/iter -> {pallas_eps:.3e} edges/s")
-    log(f"xla coo: {t_coo*1e3:.3f} ms/iter -> {coo_eps:.3e} edges/s")
+    log(f"pallas: {pallas_eps:.3e} edges/s ; coo: {coo_eps:.3e} edges/s")
 
     print(
         json.dumps(

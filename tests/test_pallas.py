@@ -157,3 +157,20 @@ def test_graphconv_bcsr_path_matches_dense(rng):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
+@pytest.mark.parametrize("block", [128, 256])
+def test_spmm_bf16_and_blocks(rng, block):
+    import dataclasses
+    from tpugraph.ops.bcsr import bcsr_from_coo
+
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.02)
+    m = bcsr_from_coo(s, r, w, n, block=block)
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y32 = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y32[:n], dense @ x[:n], atol=1e-3)
+    mb = dataclasses.replace(m, tiles=m.tiles.astype(jnp.bfloat16))
+    y16 = np.asarray(spmm_bcsr(mb, jnp.asarray(x), interpret=True))
+    # bf16 tiles: ~1e-2 relative accuracy
+    scale = np.abs(dense @ x[:n]).max() + 1e-9
+    assert np.abs(y16[:n] - dense @ x[:n]).max() / scale < 5e-2

@@ -122,3 +122,42 @@ def test_node_partitioned_spmm(rng, mesh8):
     y = np.asarray(f(gp.senders, gp.receivers, gp.edge_weight,
                      jnp.asarray(x)))
     np.testing.assert_allclose(y[: g.num_nodes_padded], y_ref, atol=1e-4)
+
+
+def test_halo_exchange_spmm(rng, mesh8):
+    from tpugraph.parallel.spmd import apply_halo_spmm, build_halo_plan
+
+    n = 96
+    a = (rng.random((n, n)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    n_total = plan.shard_size * 8
+    x = rng.standard_normal((n_total, 6)).astype(np.float32)
+    y_ref = np.asarray(spmm(g.senders, g.receivers, g.edge_weight,
+                            jnp.asarray(x[: g.num_nodes_padded])))
+    y = np.asarray(apply_halo_spmm(mesh8, plan, jnp.asarray(x)))
+    np.testing.assert_allclose(y[: g.num_nodes_padded], y_ref, atol=1e-4)
+
+
+def test_halo_exchange_locality(rng, mesh8):
+    """On a banded (locality-rich) graph the halo is much smaller than
+    full feature replication."""
+    from tpugraph.core.graph import graph_from_edges
+    from tpugraph.parallel.spmd import apply_halo_spmm, build_halo_plan
+
+    n = 256
+    src = np.arange(n, dtype=np.int32)
+    dst = (src + 1) % n  # ring: each shard needs only 1-2 boundary nodes
+    s = np.concatenate([src, dst])
+    r = np.concatenate([dst, src])
+    g = graph_from_edges(s, r, n)
+    plan = build_halo_plan(g, 8)
+    x = rng.standard_normal((plan.shard_size * 8, 4)).astype(np.float32)
+    y_ref = np.asarray(spmm(g.senders, g.receivers, g.edge_weight,
+                            jnp.asarray(x[: g.num_nodes_padded])))
+    y = np.asarray(apply_halo_spmm(mesh8, plan, jnp.asarray(x)))
+    np.testing.assert_allclose(y[: g.num_nodes_padded], y_ref, atol=1e-4)
+    # per-peer halo is tiny vs the 32-node shard
+    assert plan.halo_size <= 8

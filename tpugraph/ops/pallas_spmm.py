@@ -50,9 +50,11 @@ def _spmm_kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jnp.dot(
-        tiles_ref[0], x_ref[:], preferred_element_type=jnp.float32
-    )
+    tile = tiles_ref[0]
+    x = x_ref[:]
+    if tile.dtype != x.dtype:
+        x = x.astype(tile.dtype)  # bf16 tiles: bf16 x bf16 -> f32 on MXU
+    out_ref[:] += jnp.dot(tile, x, preferred_element_type=jnp.float32)
 
 
 def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:

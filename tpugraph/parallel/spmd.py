@@ -21,7 +21,7 @@ hand-written transport (the TPU answer to NCCL/MPI).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpugraph.core.graph import Graph
 from tpugraph.nn.layers import SparseAdj
@@ -78,7 +78,7 @@ def sharded_spmm(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -157,8 +157,130 @@ def sharded_spmm_node_partitioned(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
+
+
+class HaloPlan(NamedTuple):
+    """Host-precomputed boundary-exchange plan for node-partitioned SpMM.
+
+    ``send_idx[d, e, H]``: local node indices device ``d`` sends to peer
+    ``e`` (its boundary nodes that e's edges reference); padded with 0.
+    ``sender_slot[d, E_max]``: per-edge gather index into the concat of
+    [local shard (Ns) | received halo (n_dev*H)].
+    ``receivers_local``, ``weights``: receiver-sharded edge arrays as in
+    :func:`partition_edges_by_receiver`.
+    """
+
+    send_idx: jax.Array        # int32[n_dev, n_dev, H]
+    sender_slot: jax.Array     # int32[n_dev, E_max]
+    receivers_local: jax.Array # int32[n_dev, E_max]
+    weights: jax.Array         # float32[n_dev, E_max]
+    shard_size: int            # Ns  [static via closure]
+    halo_size: int             # H
+
+
+def build_halo_plan(g: Graph, n_dev: int) -> HaloPlan:
+    """Precompute the boundary exchange: which of my nodes each peer
+    needs, and how each of my edges finds its sender (locally or in the
+    received halo buffer).  One-time host cost, O(E)."""
+    n_pad = ((g.num_nodes_padded + n_dev - 1) // n_dev) * n_dev
+    ns = n_pad // n_dev
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    w = np.asarray(g.edge_weight)
+    live = w != 0
+
+    # edges grouped by receiver shard
+    shard_edges = [np.nonzero(live & (r // ns == d))[0] for d in range(n_dev)]
+    e_max = max((len(ix) for ix in shard_edges), default=1)
+    e_max = max(((e_max + 7) // 8) * 8, 8)
+
+    # needed[d][e] = sorted remote nodes (owned by e) that d's edges read
+    needed = [[[] for _ in range(n_dev)] for _ in range(n_dev)]
+    for d in range(n_dev):
+        senders_d = s[shard_edges[d]]
+        remote = senders_d[senders_d // ns != d]
+        for node in np.unique(remote):
+            needed[d][int(node // ns)].append(int(node))
+    h = max(
+        (len(lst) for row in needed for lst in row), default=1
+    )
+    h = max(((h + 7) // 8) * 8, 8)
+
+    send_idx = np.zeros((n_dev, n_dev, h), np.int32)
+    # recv slot lookup: for device d, node -> position in its halo buffer
+    recv_slot = [dict() for _ in range(n_dev)]
+    for d in range(n_dev):
+        for e in range(n_dev):
+            for j, node in enumerate(needed[d][e]):
+                send_idx[e, d, j] = node - e * ns     # local index at sender e
+                recv_slot[d][node] = e * h + j        # position in d's halo
+
+    sender_slot = np.zeros((n_dev, e_max), np.int32)
+    receivers_local = np.zeros((n_dev, e_max), np.int32)
+    weights = np.zeros((n_dev, e_max), np.float32)
+    for d in range(n_dev):
+        ix = shard_edges[d]
+        for k, e_id in enumerate(ix):
+            snd = int(s[e_id])
+            if snd // ns == d:
+                sender_slot[d, k] = snd - d * ns
+            else:
+                sender_slot[d, k] = ns + recv_slot[d][snd]
+            receivers_local[d, k] = r[e_id] - d * ns
+            weights[d, k] = w[e_id]
+
+    return HaloPlan(
+        send_idx=jnp.asarray(send_idx),
+        sender_slot=jnp.asarray(sender_slot),
+        receivers_local=jnp.asarray(receivers_local),
+        weights=jnp.asarray(weights),
+        shard_size=ns,
+        halo_size=h,
+    )
+
+
+def sharded_spmm_halo(mesh: Mesh, axis: str = "data") -> Callable:
+    """Node-partitioned SpMM with boundary-only halo exchange.
+
+    Each device sends exactly the boundary node features its peers need
+    (``all_to_all`` over ICI, volume O(boundary) instead of O(N)), then
+    aggregates its receiver-local edges from [local | halo] features.
+
+    ``f(plan_arrays..., x_sharded) -> y_sharded`` — call via
+    :func:`apply_halo_spmm` which unpacks a :class:`HaloPlan`.
+    """
+
+    def local_agg(send_idx, sender_slot, r_loc, w, x_local):
+        # send_idx: [1, n_dev, H] (this device's row), x_local: [Ns, D]
+        send_buf = x_local[send_idx[0]]                    # [n_dev, H, D]
+        halo = jax.lax.all_to_all(
+            send_buf, axis, split_axis=0, concat_axis=0, tiled=True
+        )                                                  # [n_dev, H, D]
+        halo = halo.reshape(-1, x_local.shape[-1])         # [n_dev*H, D]
+        xx = jnp.concatenate([x_local, halo], axis=0)
+        msgs = xx[sender_slot[0]] * w[0][:, None]
+        return jax.ops.segment_sum(
+            msgs, r_loc[0], num_segments=x_local.shape[0]
+        )
+
+    return shard_map(
+        local_agg,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def apply_halo_spmm(mesh: Mesh, plan: HaloPlan, x: jax.Array,
+                    axis: str = "data") -> jax.Array:
+    """Run the halo-exchange SpMM given a plan and node-sharded features
+    ``x [n_dev*Ns, D]``."""
+    f = sharded_spmm_halo(mesh, axis)
+    return f(plan.send_idx, plan.sender_slot, plan.receivers_local,
+             plan.weights, x)
 
 
 def make_sharded_node_train_step(
