@@ -82,18 +82,36 @@ def main() -> None:
     on_tpu = platform == "tpu"
     log(f"platform: {platform}, device: {jax.devices()[0]}")
 
+    import os
+
     if on_tpu:
         n, deg, bw, d, K, reps = 65536, 32, 192, 128, 50, 3
+        # Default: the configuration with a PROVEN fresh-process compile
+        # time (~5 min through the remote-compile tunnel).  The tuned
+        # 256-block bf16 config reaches 3.8e9 edges/s (1.9x better, see
+        # BASELINE_MEASURED.md) but its cold compile can exceed a 10 min
+        # bench budget — opt in with TPUGRAPH_BENCH_TUNED=1.
+        if os.environ.get("TPUGRAPH_BENCH_TUNED") == "1":
+            block, tile_dtype = 256, "bfloat16"
+        else:
+            block, tile_dtype = 128, "float32"
     else:
         # CPU smoke config: the Pallas interpreter is orders of magnitude
         # slower; keep it tiny just to validate the harness end-to-end.
         n, deg, bw, d, K, reps = 1024, 8, 192, 128, 2, 1
+        block, tile_dtype = 128, "float32"
     s, r, w = make_banded_graph(n, deg, bw)
     num_edges = s.shape[0]
     log(f"graph: {n} nodes, {num_edges} directed edges, feature dim {d}")
 
-    m = bcsr_from_coo(s, r, w, n)
-    m_t = bcsr_transpose_host(s, r, w, n)
+    import dataclasses
+
+    m = bcsr_from_coo(s, r, w, n, block=block)
+    m_t = bcsr_transpose_host(s, r, w, n, block=block)
+    if tile_dtype != "float32":
+        dt = jnp.dtype(tile_dtype)
+        m = dataclasses.replace(m, tiles=m.tiles.astype(dt))
+        m_t = dataclasses.replace(m_t, tiles=m_t.tiles.astype(dt))
     log(f"bcsr: {m.num_tiles} tiles of {m.block}x{m.block} "
         f"(density {num_edges / (m.num_tiles * m.block * m.block):.3f})")
 

@@ -178,6 +178,70 @@ def statistics_max(values):
     return max(values) if len(values) > 0 else 1.0
 
 
+def log_assignment(
+    assign_tensor: np.ndarray,
+    G: "nx.Graph",
+    name: str = "assignment",
+    outdir: str = "log",
+    epoch: int = 0,
+    fig_size=(8, 4),
+    dpi: int = 300,
+) -> str:
+    """DiffPool soft-assignment visualization (reference
+    ``log_assignment``/``log_graph2``, ``io_utils.py:668-770``): heatmap of
+    ``S`` next to the graph with nodes colored by their argmax cluster."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    assign = np.asarray(assign_tensor)
+    if assign.ndim == 3:
+        assign = assign[0]
+    plt.switch_backend("agg")
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=fig_size, dpi=dpi)
+    im = ax0.imshow(assign, cmap=plt.get_cmap("BuPu"), aspect="auto")
+    fig.colorbar(im, ax=ax0)
+    ax0.set_title("soft assignment S")
+
+    clusters = np.argmax(assign, axis=-1)
+    nodes = list(G.nodes())[: assign.shape[0]]
+    sub = G.subgraph(nodes)
+    pos = nx.spring_layout(sub, seed=0)
+    nx.draw(
+        sub, pos, ax=ax1, node_size=40,
+        node_color=[clusters[i] for i in range(len(nodes))],
+        cmap=plt.get_cmap("tab20"), width=0.5,
+    )
+    ax1.set_title("argmax cluster")
+    save_path = os.path.join(outdir, f"{name.replace('/', '_')}_{epoch}.png")
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
+
+
+def plot_cmap(cmap_name: str = "tab20", ncolor: int = 20,
+              outdir: str = "log", name: str = "cmap") -> str:
+    """Colormap legend export (reference ``plot_cmap_tb``,
+    ``io_utils.py:363-398``)."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    plt.switch_backend("agg")
+    fig = plt.figure(figsize=(4, 1), dpi=200)
+    gradient = np.linspace(0, 1, ncolor)[None, :]
+    plt.imshow(gradient, aspect="auto", cmap=plt.get_cmap(cmap_name))
+    plt.axis("off")
+    save_path = os.path.join(outdir, f"{name}.png")
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
+
+
 def save_matrix_image(
     mat: np.ndarray, name: str, outdir: str = "log", epoch: int = 0,
     fig_size=(8, 6), dpi: int = 200,
