@@ -73,7 +73,29 @@ def test_make_pred_real_house():
 
 def test_make_pred_real_unknown_dataset():
     with pytest.raises(ValueError, match="no motif ground truth"):
-        make_pred_real(np.eye(4), 0, "syn3")
+        make_pred_real(np.eye(4), 0, "enron")
+
+
+def test_make_pred_real_grid():
+    # grid GT (extension over the reference): 3x3 grid motif at offset 1
+    n = 11
+    adj = np.zeros((n, n), np.float32)
+    from tpugraph.explain.groundtruth import MOTIF_EDGES
+
+    for (i, j) in MOTIF_EDGES["syn3"]:
+        adj[i + 1, j + 1] = adj[j + 1, i + 1] = 0.7
+    adj[0, 1] = adj[1, 0] = 0.7  # basis anchor edge
+    pred, real = make_pred_real(adj, 1, "syn3")
+    assert real.sum() == 12  # the 12 grid edges
+    assert len(pred) == 13
+
+
+def test_make_pred_real_bounds_safe():
+    # small sub-adjacency where motif indices run off the end: must not
+    # raise (the reference crashes here — explain.py:565 IndexError)
+    adj = np.ones((4, 4), np.float32) - np.eye(4, dtype=np.float32)
+    pred, real = make_pred_real(adj, 2, "syn4")
+    assert len(pred) == len(real)
 
 
 @pytest.fixture(scope="module")

@@ -71,6 +71,7 @@ class Config:
     explainer_suffix: str = ""
 
     # runtime
+    resume: bool = False
     seed: int = 0
     eval_every: int = 25
     platform: Optional[str] = None  # None = default (TPU if available), "cpu" to force
@@ -139,6 +140,9 @@ def parse_train_args(argv=None) -> Config:
     p.add_argument("--num-pool", dest="num_pool", type=int, default=d.num_pool)
     p.add_argument("--linkpred", action="store_true", default=d.linkpred)
     p.add_argument("--eval-every", dest="eval_every", type=int, default=d.eval_every)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue from the existing checkpoint (params + "
+                        "optimizer state) — a capability the reference lacks")
     ns = p.parse_args(argv)
     return _to_config(ns)
 

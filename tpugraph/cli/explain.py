@@ -127,12 +127,19 @@ def main(argv=None) -> None:
             summary["mask_shape"] = list(masked_adj.shape)
     else:
         if cfg.multinode_class >= 0:
+            # reference explainer_main.py:288-307: explain up to 5 nodes of
+            # the class and align the first two explanations
             labels = np.asarray(ex.label[0])
             node_indices = [
                 i for i, l in enumerate(labels) if l == cfg.multinode_class
             ][:5]
-        else:
-            node_indices = list(range(400, 700, 5))
+            ex.align_steps = cfg.align_steps
+            masked = ex.explain_nodes(node_indices)
+            summary["num_nodes_explained"] = len(node_indices)
+            summary["aligned"] = ex.last_alignment is not None
+            print(json.dumps(summary, indent=2, default=float))
+            return
+        node_indices = list(range(400, 700, 5))
         res = ex.explain_nodes_gnn_stats(node_indices, model=explainer_model)
         summary["num_nodes_explained"] = len(node_indices)
         summary["auc"] = res["auc"]

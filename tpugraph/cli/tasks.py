@@ -72,6 +72,34 @@ def run_node_task(
     g = graph_from_networkx(G)
     feat = padded_features(G, g)
     model = build_node_model(cfg, feat.shape[1], num_classes)
+    init_params = init_opt = None
+    if getattr(cfg, "resume", False):
+        from tpugraph.train.checkpoint import load_checkpoint
+        from tpugraph.nn.layers import SparseAdj
+        import jax as _jax
+        import jax.numpy as _jnp
+        from tpugraph.train.optim import build_optimizer as _bo
+        from tpugraph.train.loop import _opt_config as _oc
+
+        prefix_r = gen_prefix(cfg.name, cfg.method, cfg.hidden_dim,
+                              cfg.output_dim, cfg.bias, cfg.name_suffix)
+        template = model.init(
+            _jax.random.PRNGKey(0), _jnp.asarray(feat),
+            SparseAdj(g.senders, g.receivers, g.edge_weight),
+        )
+        ck = load_checkpoint(cfg.ckptdir, prefix_r, params_template=template)
+        init_params = ck["params"]
+        opt_file = os.path.join(
+            os.path.dirname(os.path.join(cfg.ckptdir, prefix_r, "x")),
+            "opt_state.msgpack",
+        )
+        if os.path.isfile(opt_file):
+            from flax import serialization as _ser
+
+            tx = _bo(_oc(train_config(cfg)))
+            tmpl_opt = tx.init(init_params)
+            with open(opt_file, "rb") as f:
+                init_opt = _ser.from_bytes(tmpl_opt, f.read())
     out = train_node_classifier(
         model,
         g,
@@ -81,6 +109,8 @@ def run_node_task(
         class_weight=class_weight,
         seed=cfg.seed,
         log_fn=log_fn,
+        init_params=init_params,
+        init_opt_state=init_opt,
     )
     # cg bundle in the reference's dense [1, N, ...] contract
     # (train.py:352-358) so the explainer and notebooks interoperate.
@@ -102,6 +132,7 @@ def run_node_task(
         prefix,
         out["params"],
         cg_dict=cg,
+        opt_state=out.get("opt_state"),
         meta={
             "model_type": cfg.method,
             "task": "node",

@@ -17,10 +17,29 @@ import numpy as np
 _HOUSE_EDGES = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 4), (1, 4)]
 _CYCLE6_EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 5)]
 
+
+def _grid_edges(dim: int = 3):
+    """Edges of a dim x dim grid under the generator's node numbering
+    (``nx.grid_graph`` relabeled row-major — data/shapes.py:grid)."""
+    edges = []
+    for i in range(dim):
+        for j in range(dim):
+            a = i * dim + j
+            if j + 1 < dim:
+                edges.append((a, a + 1))
+            if i + 1 < dim:
+                edges.append((a, a + dim))
+    return edges
+
+
 MOTIF_EDGES = {
     "syn1": _HOUSE_EDGES,
     "syn2": _HOUSE_EDGES,
+    # grid motifs: an EXTENSION over the reference, whose make_pred_real
+    # only covers syn1/syn2/syn4 (explain.py:535-579)
+    "syn3": _grid_edges(3),
     "syn4": _CYCLE6_EDGES,
+    "syn5": _grid_edges(3),
 }
 
 

@@ -84,6 +84,8 @@ def train_node_classifier(
     class_weight: Optional[np.ndarray] = None,
     seed: int = 0,
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    init_params: Any = None,
+    init_opt_state: Any = None,
 ) -> Dict[str, Any]:
     """Full-batch node classification on one padded sparse graph.
 
@@ -117,9 +119,13 @@ def train_node_classifier(
     test_mask_d = jnp.asarray(test_mask)
     cw = None if class_weight is None else jnp.asarray(class_weight, jnp.float32)
 
-    params = model.init(jax.random.PRNGKey(seed), x, sp)
+    params = (
+        init_params
+        if init_params is not None
+        else model.init(jax.random.PRNGKey(seed), x, sp)
+    )
     tx = build_optimizer(_opt_config(cfg))
-    opt_state = tx.init(params)
+    opt_state = init_opt_state if init_opt_state is not None else tx.init(params)
 
     has_dropout = getattr(model, "dropout", 0.0) > 0.001
 
@@ -186,6 +192,7 @@ def train_node_classifier(
 
     return {
         "params": params,
+        "opt_state": opt_state,
         "ypred": ypred,
         "train_idx": train_idx,
         "test_idx": test_idx,
