@@ -17,8 +17,6 @@ from typing import Iterator, List, Optional, Sequence
 import networkx as nx
 import numpy as np
 
-from tpugraph.core.graph import _round_up
-
 
 @dataclasses.dataclass
 class DenseGraphBatch:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -27,7 +27,6 @@ from tpugraph.explain import baselines
 from tpugraph.explain.groundtruth import explanation_auc
 from tpugraph.explain.module import (
     ExplainConfig,
-    MaskState,
     masked_edge_weights,
     run_mask_optimization,
 )

@@ -9,7 +9,7 @@ the mask weights are scored with ROC-AUC against it (reference
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ sparse path can be evaluated on the dense oracle and vice versa.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple, Union
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from tpugraph.nn.initializers import xavier_relu_uniform
 from tpugraph.ops.message import spmm, sddmm
-from tpugraph.ops.dense import dense_spmm, dense_sddmm
+from tpugraph.ops.dense import dense_spmm
 
 
 class SparseAdj(NamedTuple):

@@ -21,7 +21,7 @@ hand-written transport (the TPU answer to NCCL/MPI).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 
