@@ -153,6 +153,24 @@ def main(argv=None) -> None:
                 f"graph_{cfg.name}_{explainer_model}_{r['node_idx']}",
                 outdir=ex.logdir,
             )
+        # TB scalars of the optimization terms (reference explain.py:809-819)
+        # + mask/feat-mask heatmaps (reference log_mask, explain.py:822-870)
+        if explainer_model == "exp" and res["results"]:
+            from tpugraph.utils.tb_writer import SummaryWriter
+            from tpugraph.viz.graphs import save_matrix_image
+
+            writer = SummaryWriter(ex.logdir)
+            hist = res["results"][0].get("history", {})
+            for term, values in hist.items():
+                for epoch, v in enumerate(np.asarray(values).tolist()):
+                    writer.add_scalar(f"optimization/{term}_loss", v, epoch)
+            writer.close()
+            r0 = res["results"][0]
+            save_matrix_image(r0["masked_adj"], "mask/adj", outdir=ex.logdir)
+            if "feat_mask" in r0:
+                save_matrix_image(
+                    r0["feat_mask"][None], "mask/feat_mask", outdir=ex.logdir
+                )
     print(json.dumps(summary, indent=2, default=float))
 
 

@@ -74,32 +74,29 @@ def run_node_task(
     model = build_node_model(cfg, feat.shape[1], num_classes)
     init_params = init_opt = None
     if getattr(cfg, "resume", False):
-        from tpugraph.train.checkpoint import load_checkpoint
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
         from tpugraph.nn.layers import SparseAdj
-        import jax as _jax
-        import jax.numpy as _jnp
-        from tpugraph.train.optim import build_optimizer as _bo
-        from tpugraph.train.loop import _opt_config as _oc
+        from tpugraph.train.checkpoint import load_checkpoint
+        from tpugraph.train.loop import _opt_config
+        from tpugraph.train.optim import build_optimizer
 
         prefix_r = gen_prefix(cfg.name, cfg.method, cfg.hidden_dim,
                               cfg.output_dim, cfg.bias, cfg.name_suffix)
         template = model.init(
-            _jax.random.PRNGKey(0), _jnp.asarray(feat),
+            jax.random.PRNGKey(0), jnp.asarray(feat),
             SparseAdj(g.senders, g.receivers, g.edge_weight),
         )
         ck = load_checkpoint(cfg.ckptdir, prefix_r, params_template=template)
         init_params = ck["params"]
-        opt_file = os.path.join(
-            os.path.dirname(os.path.join(cfg.ckptdir, prefix_r, "x")),
-            "opt_state.msgpack",
-        )
+        opt_file = os.path.join(cfg.ckptdir, prefix_r, "opt_state.msgpack")
         if os.path.isfile(opt_file):
-            from flax import serialization as _ser
-
-            tx = _bo(_oc(train_config(cfg)))
+            tx = build_optimizer(_opt_config(train_config(cfg)))
             tmpl_opt = tx.init(init_params)
             with open(opt_file, "rb") as f:
-                init_opt = _ser.from_bytes(tmpl_opt, f.read())
+                init_opt = serialization.from_bytes(tmpl_opt, f.read())
     out = train_node_classifier(
         model,
         g,

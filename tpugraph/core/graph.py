@@ -132,14 +132,15 @@ def graph_from_edges(
     s[:e], r[:e], w[:e] = senders, receivers, edge_weight
 
     # Undirected-pair ids: canonical (min, max) ordering; padding slots get
-    # a sentinel id of e_pad (one past the last real pair id).
-    pair_key = {}
+    # a sentinel id of e_pad (one past the last real pair id).  Vectorized:
+    # both directions of an undirected edge share one canonical key.
     pair = np.full((e_pad,), e_pad, dtype=np.int32)
-    for idx in range(e):
-        key = (min(s[idx], r[idx]), max(s[idx], r[idx]))
-        if key not in pair_key:
-            pair_key[key] = len(pair_key)
-        pair[idx] = pair_key[key]
+    if e > 0:
+        lo = np.minimum(s[:e], r[:e]).astype(np.int64)
+        hi = np.maximum(s[:e], r[:e]).astype(np.int64)
+        keys = lo * np.int64(n_pad) + hi
+        _, inverse = np.unique(keys, return_inverse=True)
+        pair[:e] = inverse.astype(np.int32)
 
     node_mask = np.zeros((n_pad,), dtype=np.float32)
     node_mask[:num_nodes] = 1.0

@@ -130,15 +130,16 @@ class Explainer:
         """Dense [n_sub, n_sub] masked sub-adjacency in ascending neighbor
         order — the reference's ``.npy`` export contract
         (``explain.py:209-220``)."""
-        pos = {int(n): i for i, n in enumerate(neighbors)}
+        neighbors = np.asarray(neighbors)
         n_sub = len(neighbors)
+        # vectorized: map original ids -> subgraph positions (-1 outside)
+        pos = np.full((g.num_nodes_padded,), -1, dtype=np.int64)
+        pos[neighbors] = np.arange(n_sub)
+        s = pos[np.asarray(g.senders)]
+        r = pos[np.asarray(g.receivers)]
+        keep = (w != 0) & (s >= 0) & (r >= 0)
         dense = np.zeros((n_sub, n_sub), dtype=np.float32)
-        s = np.asarray(g.senders)
-        r = np.asarray(g.receivers)
-        for e in np.nonzero(w)[0]:
-            si, ri = int(s[e]), int(r[e])
-            if si in pos and ri in pos:
-                dense[pos[ri], pos[si]] = w[e]
+        dense[r[keep], s[keep]] = w[keep]
         return dense
 
     def _save_npy(self, masked_adj: np.ndarray, node_idx: int, prefix: str = ""):
