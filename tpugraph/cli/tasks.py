@@ -304,16 +304,40 @@ def enron_multigraph_task(cfg: Config, log_fn=None) -> Dict:
     for G in G_list:
         G.add_nodes_from(range(max_id))
         labels.append(
-            [ENRON_LABELS[G.nodes[n].get("role", "None")] for n in sorted(G.nodes())]
+            [ENRON_LABELS[G.nodes[n].get("role", "None")] for n in G.nodes()]
         )
         g = graph_from_networkx(G, num_nodes_padded=n_pad, num_edges_padded=e_pad)
         graphs.append(g)
         feats.append(padded_features(G, g))
     model = build_node_model(cfg, feats[0].shape[1], max(ENRON_LABELS.values()) + 1)
-    return train_node_classifier_multigraph(
+    out = train_node_classifier_multigraph(
         model, graphs, np.stack(feats), np.asarray(labels), train_config(cfg),
         seed=cfg.seed, log_fn=log_fn,
     )
+    # cg bundle across all slices (reference train.py:470-483: stacked
+    # adj/feat/labels + preds + per-graph train_idx)
+    n_real = int(graphs[0].n_node)
+    import networkx as nx
+
+    adjs = np.stack([
+        np.asarray(nx.to_numpy_array(Gs), dtype=np.float32)
+        for Gs in G_list
+    ])
+    cg = {
+        "adj": adjs,
+        "feat": np.stack(feats)[:, :n_real],
+        "label": np.asarray(labels),
+        "pred": out["ypred"][:, :n_real],
+        "train_idx": out["train_idx"],
+    }
+    prefix = gen_prefix(cfg.name, cfg.method, cfg.hidden_dim,
+                        cfg.output_dim, cfg.bias, cfg.name_suffix)
+    out["ckpt_path"] = save_checkpoint(
+        cfg.ckptdir, prefix, out["params"], cg_dict=cg,
+        meta={"model_type": cfg.method, "task": "node_multigraph"},
+    )
+    out["cg"] = cg
+    return out
 
 
 def pkl_task(cfg: Config, log_fn=None) -> Dict:

@@ -48,6 +48,16 @@ def main(argv=None) -> None:
     if "result_train" in out:
         print("train conf_mat:\n", out["result_train"]["conf_mat"])
         print("test conf_mat:\n", out["result_test"]["conf_mat"])
+    hist = out.get("history") or {}
+    if hist.get("train_acc"):
+        from tpugraph.viz.graphs import plot_accuracy_curve
+
+        eval_accs = hist.get("test_acc") or hist.get("val_acc")
+        path = plot_accuracy_curve(
+            hist["train_acc"], eval_accs, name=prefix,
+            outdir=os.path.join(cfg.logdir, "results"),
+        )
+        summary["train_curve"] = path
     writer.close()
     print(json.dumps(summary, indent=2, default=float))
 

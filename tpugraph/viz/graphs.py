@@ -178,6 +178,51 @@ def statistics_max(values):
     return max(values) if len(values) > 0 else 1.0
 
 
+def exp_moving_avg(values, decay: float = 0.85):
+    """EMA smoothing for accuracy curves (reference
+    ``utils/math_utils.py:8-16``)."""
+    out = []
+    last = None
+    for v in values:
+        last = v if last is None else decay * last + (1 - decay) * v
+        out.append(last)
+    return out
+
+
+def plot_accuracy_curve(
+    train_accs,
+    val_or_test_accs=None,
+    name: str = "train_curve",
+    outdir: str = "results",
+    decay: float = 0.85,
+    dpi: int = 300,
+) -> str:
+    """Training accuracy curve PNG with EMA smoothing (reference
+    ``train.py:237-249`` + ``io_utils.gen_train_plt_name``)."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    plt.switch_backend("agg")
+    fig = plt.figure(dpi=dpi)
+    epochs = list(range(len(train_accs)))
+    plt.plot(epochs, exp_moving_avg(train_accs, decay), "-", lw=1,
+             label="train")
+    if val_or_test_accs is not None and len(val_or_test_accs) > 0:
+        step = max(len(train_accs) // max(len(val_or_test_accs), 1), 1)
+        xs = [i * step for i in range(len(val_or_test_accs))]
+        plt.plot(xs, val_or_test_accs, "bo", markersize=3, label="eval")
+    plt.xlabel("epoch")
+    plt.ylabel("accuracy")
+    plt.legend()
+    save_path = os.path.join(outdir, f"{name}.png")
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
+
+
 def log_assignment(
     assign_tensor: np.ndarray,
     G: "nx.Graph",
