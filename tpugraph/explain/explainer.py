@@ -237,6 +237,17 @@ class Explainer:
         t0 = time.time()
         states, w_all, hist = batch_run(*args)
         w_all = np.asarray(w_all)
+        if self.cfg.seed_ensemble > 1:
+            # average the learned edge gates over extra init seeds
+            acc = w_all.astype(np.float64)
+            for s in range(1, self.cfg.seed_ensemble):
+                keys_s = jax.random.split(
+                    jax.random.PRNGKey(self.seed + 7919 * s), len(node_indices)
+                )
+                args_s = args[:4] + (keys_s,)
+                _, w_s, _ = batch_run(*args_s)
+                acc += np.asarray(w_s, dtype=np.float64)
+            w_all = (acc / self.cfg.seed_ensemble).astype(np.float32)
         elapsed = time.time() - t0
         if self.print_training:
             print(

@@ -51,6 +51,9 @@ class ExplainConfig(NamedTuple):
     coeff_lap: float = 1.0
     mask_features: bool = True
     marginalize: bool = False
+    seed_ensemble: int = 1  # >1: average masks over several init seeds
+                            # (stabilizes AUC on motif tasks; extension
+                            # over the reference)
 
 
 class MaskState(NamedTuple):
