@@ -70,8 +70,31 @@ def time_fn(fn, *args, iters=20, warmup=2, tag=""):
     return float(np.median(times))
 
 
+def enable_compile_cache() -> None:
+    """Persistent compilation cache (validated against this platform's
+    remote-compile tunnel: executables serialize/deserialize cleanly).
+    A pre-warmed cache turns the tuned config's multi-minute cold compile
+    into a sub-second load, so the bench fits any time budget."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "TPUGRAPH_COMPILE_CACHE", "/root/repo/.jax_cache"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log(f"compile cache unavailable: {e}")
+
+
 def main() -> None:
     import jax
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
@@ -86,15 +109,15 @@ def main() -> None:
 
     if on_tpu:
         n, deg, bw, d, K, reps = 65536, 32, 192, 128, 50, 3
-        # Default: the configuration with a PROVEN fresh-process compile
-        # time (~5 min through the remote-compile tunnel).  The tuned
-        # 256-block bf16 config reaches 3.8e9 edges/s (1.9x better, see
-        # BASELINE_MEASURED.md) but its cold compile can exceed a 10 min
-        # bench budget — opt in with TPUGRAPH_BENCH_TUNED=1.
-        if os.environ.get("TPUGRAPH_BENCH_TUNED") == "1":
-            block, tile_dtype = 256, "bfloat16"
-        else:
+        # Default: tuned 256-block bf16 config (3.9e9 edges/s, measured).
+        # Its multi-minute cold compile is absorbed by the persistent
+        # compilation cache (pre-warmed in .jax_cache — loads in <1 s).
+        # TPUGRAPH_BENCH_TUNED=0 opts into the conservative 128/f32
+        # config for a cold-cache machine with a tight time budget.
+        if os.environ.get("TPUGRAPH_BENCH_TUNED") == "0":
             block, tile_dtype = 128, "float32"
+        else:
+            block, tile_dtype = 256, "bfloat16"
     else:
         # CPU smoke config: the Pallas interpreter is orders of magnitude
         # slower; keep it tiny just to validate the harness end-to-end.

@@ -28,6 +28,10 @@ def log(*a):
 
 def main() -> None:
     import jax
+
+    from bench import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from tpugraph.cli.config import Config

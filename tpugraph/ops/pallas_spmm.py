@@ -205,7 +205,7 @@ def spmm_bcsr_packed(
         grid=(t // k_pack,),
         in_specs=[
             pl.BlockSpec((k_pack, b, b), lambda i, row, col: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
         scratch_shapes=[
