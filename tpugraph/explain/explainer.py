@@ -40,6 +40,14 @@ def nx_to_numpy(G) -> np.ndarray:
     return np.asarray(nx.to_numpy_array(G))
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _khop_batch(g: Graph, idxs: jax.Array, n_hops: int):
+    """All query neighborhoods in one compiled call.  (Un-jitted, the
+    vmapped frontier scan dispatches each op eagerly — on this platform a
+    single eager dispatch costs ~29 ms, dominating small-batch explains.)"""
+    return jax.vmap(lambda i: khop_subgraph(g, i, n_hops))(idxs)
+
+
 class Explainer:
     """Per-checkpoint explanation engine.
 
@@ -93,6 +101,11 @@ class Explainer:
 
         self._graphs: Dict[int, Graph] = {}
         self._model_apply = model.apply
+        # jit caches keyed by call configuration: the jitted callables are
+        # built once and reused, so repeated explain calls neither retrace
+        # nor re-bake arrays as HLO constants (params/g/x are arguments).
+        self._batch_run_cache: Dict = {}
+        self._graph_run = None
 
     # ---------------------------------------------------------------- utils
 
@@ -180,45 +193,16 @@ class Explainer:
         labels_pad = np.zeros((g.num_nodes_padded,), dtype=np.int32)
         lab = self.label[graph_idx]
         labels_pad[: lab.shape[0]] = lab
-        num_pairs = g.num_edges_padded
 
-        idxs = jnp.asarray(np.asarray(node_indices, dtype=np.int32))
-        gts = jnp.asarray(labels_pad)[idxs]
+        idx_np = np.asarray(node_indices, dtype=np.int32)
+        idxs = jnp.asarray(idx_np)
+        gts = jnp.asarray(labels_pad[idx_np])  # host gather: no eager device op
         keys = jax.random.split(
             jax.random.PRNGKey(self.seed), len(node_indices)
         )
 
-        nb_fn = jax.vmap(lambda i: khop_subgraph(g, i, self.n_hops))
-        nbs = nb_fn(idxs)
-
-        run = partial(
-            run_mask_optimization,
-            self._model_apply,
-            self.params,
-            g,
-            x,
-            cfg=self.cfg,
-            num_pairs=num_pairs,
-            graph_mode=False,
-            unconstrained=unconstrained,
-        )
-
-        def batch_fn(node_idx, gt, edge_keep, n_sub, key):
-            def one(ni, gt_i, keep_i, ns_i, k_i):
-                state, hist = run(
-                    node_idx=ni,
-                    gt_label=gt_i,
-                    pred_label_vec=pred_vec,
-                    edge_keep=keep_i,
-                    num_sub_nodes=ns_i,
-                    key=k_i,
-                )
-                w = masked_edge_weights(
-                    g, state, self.cfg, keep_i, unconstrained=unconstrained
-                )
-                return state, w, hist
-
-            return jax.vmap(one)(node_idx, gt, edge_keep, n_sub, key)
+        nbs = _khop_batch(g, idxs, self.n_hops)
+        batch_run = self._get_batch_run(mesh, unconstrained)
 
         args = (idxs, gts, nbs.edge_mask, nbs.num_nodes, keys)
         if mesh is not None:
@@ -227,16 +211,10 @@ class Explainer:
             axis = tuple(mesh.shape.keys())[0]
             qshard = NamedSharding(mesh, P(axis))
             args = tuple(jax.device_put(a, qshard) for a in args)
-            batch_run = jax.jit(
-                batch_fn,
-                in_shardings=(qshard,) * 5,
-            )
-        else:
-            batch_run = jax.jit(batch_fn)
 
         t0 = time.time()
-        states, w_all, hist = batch_run(*args)
-        w_all = np.asarray(w_all)
+        states, w_dev, hist = batch_run(self.params, g, x, pred_vec, *args)
+        w_all = np.asarray(w_dev)
         if self.cfg.seed_ensemble > 1:
             # average the learned edge gates over extra init seeds
             acc = w_all.astype(np.float64)
@@ -245,7 +223,7 @@ class Explainer:
                     jax.random.PRNGKey(self.seed + 7919 * s), len(node_indices)
                 )
                 args_s = args[:4] + (keys_s,)
-                _, w_s, _ = batch_run(*args_s)
+                _, w_s, _ = batch_run(self.params, g, x, pred_vec, *args_s)
                 acc += np.asarray(w_s, dtype=np.float64)
             w_all = (acc / self.cfg.seed_ensemble).astype(np.float32)
         elapsed = time.time() - t0
@@ -256,8 +234,12 @@ class Explainer:
             )
 
         results = []
+        # ONE device->host transfer per tensor, then numpy slicing: per-query
+        # device indexing would pay the ~29 ms eager-dispatch tax per op.
         node_mask_np = np.asarray(nbs.node_mask)
         new_idx_np = np.asarray(nbs.new_index)
+        hist_np = {k: np.asarray(v) for k, v in hist.items()}
+        feat_sig_np = np.asarray(jax.nn.sigmoid(states.feat_logits))
         for q, node_idx in enumerate(node_indices[:n_query_real]):
             neighbors = np.nonzero(node_mask_np[q])[0]
             dense = self._densify_mask(g, w_all[q], neighbors)
@@ -267,15 +249,70 @@ class Explainer:
                     "node_idx_new": int(new_idx_np[q]),
                     "neighbors": neighbors,
                     "masked_adj": dense,
-                    "history": {
-                        k: np.asarray(v[q]) for k, v in hist.items()
-                    },
-                    "feat_mask": np.asarray(
-                        jax.nn.sigmoid(states.feat_logits[q])
-                    ),
+                    "history": {k: v[q] for k, v in hist_np.items()},
+                    "feat_mask": feat_sig_np[q],
                 }
             )
         return results
+
+    def _get_batch_run(self, mesh, unconstrained: bool):
+        """Build (once) the jitted vmapped mask-optimization runner.
+
+        params / graph / features / pred labels are ARGUMENTS, not
+        closures: closing over them would bake them into the HLO as
+        constants (compile-payload blowup + ~150x dispatch cost — see
+        ``ops/pallas_spmm.bcsr_matvec``) and force a retrace per call.
+        """
+        key = (None if mesh is None else id(mesh), bool(unconstrained))
+        fn = self._batch_run_cache.get(key)
+        if fn is not None:
+            return fn
+
+        cfg = self.cfg
+        model_apply = self._model_apply
+
+        def batch_fn(params, g, x, pred_vec, node_idx, gt, edge_keep, n_sub, key):
+            run = partial(
+                run_mask_optimization,
+                model_apply,
+                params,
+                g,
+                x,
+                cfg=cfg,
+                num_pairs=g.num_edges_padded,
+                graph_mode=False,
+                unconstrained=unconstrained,
+            )
+
+            def one(ni, gt_i, keep_i, ns_i, k_i):
+                state, hist = run(
+                    node_idx=ni,
+                    gt_label=gt_i,
+                    pred_label_vec=pred_vec,
+                    edge_keep=keep_i,
+                    num_sub_nodes=ns_i,
+                    key=k_i,
+                )
+                w = masked_edge_weights(
+                    g, state, cfg, keep_i, unconstrained=unconstrained
+                )
+                return state, w, hist
+
+            return jax.vmap(one)(node_idx, gt, edge_keep, n_sub, key)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = tuple(mesh.shape.keys())[0]
+            qshard = NamedSharding(mesh, P(axis))
+            repl = NamedSharding(mesh, P())
+            fn = jax.jit(
+                batch_fn, in_shardings=(repl, repl, repl, repl) + (qshard,) * 5
+            )
+        else:
+            fn = jax.jit(batch_fn)
+        self._batch_run_cache[key] = fn
+        return fn
 
     # ------------------------------------------------------- single queries
 
@@ -333,27 +370,37 @@ class Explainer:
                 0, pred_label, graph_mode=True,
             )
 
-        @jax.jit
-        def run_one(key):
-            state, hist = run_mask_optimization(
-                self._model_apply,
-                self.params,
-                g,
-                x,
-                node_idx=jnp.asarray(0),
-                gt_label=gt,
-                pred_label_vec=jnp.zeros((g.num_nodes_padded,), jnp.float32),
-                edge_keep=None,
-                num_sub_nodes=g.n_node,
-                key=key,
-                cfg=self.cfg,
-                num_pairs=g.num_edges_padded,
-                graph_mode=True,
-            )
-            w = masked_edge_weights(g, state, self.cfg)
-            return state, w, hist
+        if self._graph_run is None:
+            cfg = self.cfg
+            model_apply = self._model_apply
 
-        _, w, _ = run_one(jax.random.PRNGKey(self.seed + graph_idx))
+            def run_one(params, g, x, gt, key):
+                state, hist = run_mask_optimization(
+                    model_apply,
+                    params,
+                    g,
+                    x,
+                    node_idx=jnp.asarray(0),
+                    gt_label=gt,
+                    pred_label_vec=jnp.zeros(
+                        (g.num_nodes_padded,), jnp.float32
+                    ),
+                    edge_keep=None,
+                    num_sub_nodes=g.n_node,
+                    key=key,
+                    cfg=cfg,
+                    num_pairs=g.num_edges_padded,
+                    graph_mode=True,
+                )
+                w = masked_edge_weights(g, state, cfg)
+                return state, w, hist
+
+            # args, not closures: same-budget graphs share one compilation
+            self._graph_run = jax.jit(run_one)
+
+        _, w, _ = self._graph_run(
+            self.params, g, x, gt, jax.random.PRNGKey(self.seed + graph_idx)
+        )
         n = int(g.n_node)
         dense = self._densify_mask(g, np.asarray(w), np.arange(n))
         self._save_npy(dense, 0)

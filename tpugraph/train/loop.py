@@ -129,33 +129,41 @@ def train_node_classifier(
 
     has_dropout = getattr(model, "dropout", 0.0) > 0.001
 
-    def loss_fn(p, key):
-        rngs = {"dropout": key} if has_dropout else None
-        logits, _ = model.apply(p, x, sp, deterministic=False, rngs=rngs)
-        return node_cross_entropy(logits, y, class_weight=cw, node_mask=train_mask_d), logits
-
-    def epoch_step(carry, _):
-        p, s, key = carry
-        key, sub = jax.random.split(key)
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, sub
-        )
-        updates, s = tx.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        pred_lab = jnp.argmax(logits, axis=-1)
-        correct = (pred_lab == y).astype(jnp.float32)
-        train_acc = jnp.sum(correct * train_mask_d) / jnp.maximum(
-            jnp.sum(train_mask_d), 1.0
-        )
-        test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
-            jnp.sum(test_mask_d), 1.0
-        )
-        return (p, s, key), (loss, train_acc, test_acc)
-
     from functools import partial
 
+    # graph/features/labels are jit ARGUMENTS: closing over them would bake
+    # them into the HLO as constants (compile-payload + dispatch cost at
+    # Enron/PPI scale — see ops/pallas_spmm.bcsr_matvec docstring).
     @partial(jax.jit, static_argnames="length")
-    def run_chunk(p, s, key, length):
+    def run_chunk(p, s, key, x, sp, y, train_mask_d, test_mask_d, length):
+        def loss_fn(p, key):
+            rngs = {"dropout": key} if has_dropout else None
+            logits, _ = model.apply(p, x, sp, deterministic=False, rngs=rngs)
+            return (
+                node_cross_entropy(
+                    logits, y, class_weight=cw, node_mask=train_mask_d
+                ),
+                logits,
+            )
+
+        def epoch_step(carry, _):
+            p, s, key = carry
+            key, sub = jax.random.split(key)
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, sub
+            )
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            pred_lab = jnp.argmax(logits, axis=-1)
+            correct = (pred_lab == y).astype(jnp.float32)
+            train_acc = jnp.sum(correct * train_mask_d) / jnp.maximum(
+                jnp.sum(train_mask_d), 1.0
+            )
+            test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
+                jnp.sum(test_mask_d), 1.0
+            )
+            return (p, s, key), (loss, train_acc, test_acc)
+
         return jax.lax.scan(epoch_step, (p, s, key), None, length=length)
 
     history: Dict[str, List[float]] = {"loss": [], "train_acc": [], "test_acc": []}
@@ -165,7 +173,8 @@ def train_node_classifier(
     while done < cfg.num_epochs:
         chunk = min(cfg.scan_chunk, cfg.num_epochs - done)
         (params, opt_state, drop_key), (losses, tr_acc, te_acc) = run_chunk(
-            params, opt_state, drop_key, chunk
+            params, opt_state, drop_key, x, sp, y, train_mask_d, test_mask_d,
+            chunk,
         )
         done += chunk
         history["loss"].extend(np.asarray(losses).tolist())
@@ -184,7 +193,7 @@ def train_node_classifier(
 
     # Final eval-mode forward producing the cg `pred` (reference
     # train.py:346-358).
-    logits, _ = jax.jit(lambda p: model.apply(p, x, sp))(params)
+    logits, _ = jax.jit(model.apply)(params, x, sp)
     ypred = np.asarray(logits)[None]  # [1, N_pad, C]
     result_train, result_test = eval_node(
         ypred[:, :n_real], np.asarray(labels)[None], train_idx, test_idx

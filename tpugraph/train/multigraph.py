@@ -76,23 +76,24 @@ def train_node_classifier_multigraph(
     tx = build_optimizer(_opt_config(cfg))
     opt_state = tx.init(params)
 
-    def loss_fn(p):
-        logits = vfwd(p, x, bg.senders, bg.receivers, bg.edge_weight)
-        return node_cross_entropy(logits, y, node_mask=trm), logits
-
-    def epoch_step(carry, _):
-        p, s = carry
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        updates, s = tx.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        pred = jnp.argmax(logits, axis=-1)
-        correct = (pred == y).astype(jnp.float32)
-        tr_acc = jnp.sum(correct * trm) / jnp.maximum(jnp.sum(trm), 1.0)
-        te_acc = jnp.sum(correct * tem) / jnp.maximum(jnp.sum(tem), 1.0)
-        return (p, s), (loss, tr_acc, te_acc)
-
+    # data tensors are jit arguments, not closures (no HLO constants)
     @partial(jax.jit, static_argnames="length")
-    def run_chunk(p, s, length):
+    def run_chunk(p, s, x, bg, y, trm, tem, length):
+        def loss_fn(p):
+            logits = vfwd(p, x, bg.senders, bg.receivers, bg.edge_weight)
+            return node_cross_entropy(logits, y, node_mask=trm), logits
+
+        def epoch_step(carry, _):
+            p, s = carry
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            pred = jnp.argmax(logits, axis=-1)
+            correct = (pred == y).astype(jnp.float32)
+            tr_acc = jnp.sum(correct * trm) / jnp.maximum(jnp.sum(trm), 1.0)
+            te_acc = jnp.sum(correct * tem) / jnp.maximum(jnp.sum(tem), 1.0)
+            return (p, s), (loss, tr_acc, te_acc)
+
         return jax.lax.scan(epoch_step, (p, s), None, length=length)
 
     history = {"loss": [], "train_acc": [], "test_acc": []}
@@ -100,7 +101,9 @@ def train_node_classifier_multigraph(
     done = 0
     while done < cfg.num_epochs:
         chunk = min(cfg.scan_chunk, cfg.num_epochs - done)
-        (params, opt_state), (l, a, b) = run_chunk(params, opt_state, chunk)
+        (params, opt_state), (l, a, b) = run_chunk(
+            params, opt_state, x, bg, y, trm, tem, chunk
+        )
         done += chunk
         history["loss"].extend(np.asarray(l).tolist())
         history["train_acc"].extend(np.asarray(a).tolist())
@@ -111,7 +114,7 @@ def train_node_classifier_multigraph(
                           "test_acc": history["test_acc"][-1]})
     elapsed = time.time() - begin
 
-    logits = vfwd(params, x, bg.senders, bg.receivers, bg.edge_weight)
+    logits = jax.jit(vfwd)(params, x, bg.senders, bg.receivers, bg.edge_weight)
     ypred = np.asarray(logits)
     result_train, result_test = eval_node(
         ypred[:, :n_real],
