@@ -138,6 +138,51 @@ def test_grad_baseline(syn1_trained):
     assert np.all((adj > 0) <= (sub_adj > 0))
 
 
+def test_attention_and_feat_grad_baselines():
+    from tpugraph.explain.baselines import (
+        attention_saliency,
+        grad_feat_saliency,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d, c = 12, 6, 3
+    a = (rng.random((n, n)) < 0.3).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = Config(dataset="syn1", method="att")
+    model = build_node_model(cfg, d, c)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x)[None], jnp.asarray(a)[None]
+    )
+    sal = attention_saliency(model.apply, params, a, x)
+    assert sal.shape == (n, n)
+    # saliency restricted to edge support
+    assert np.all((sal > 0) <= (a > 0))
+
+    fg = grad_feat_saliency(model.apply, params, a, x, 3, 1)
+    assert fg.shape == (n, d)
+    assert np.all(np.isfinite(fg))
+
+
+def test_batch_run_jit_is_cached(syn1_trained):
+    """Repeated explain calls must reuse ONE jitted runner (rebuilding
+    jax.jit per call retraces and bakes arrays as HLO constants — the
+    419 -> 8236 steps/s TPU regression)."""
+    model, out, cg = syn1_trained
+    ex = Explainer(
+        model, out["params"], cg["adj"], cg["feat"], cg["label"], cg["pred"],
+        n_hops=3, dataset="syn1",
+    )
+    ex.explain_nodes_batch([400, 405])
+    assert len(ex._batch_run_cache) == 1
+    fn = next(iter(ex._batch_run_cache.values()))
+    ex.explain_nodes_batch([410, 415])
+    assert next(iter(ex._batch_run_cache.values())) is fn
+    # same query-count signature -> a single compiled trace
+    assert fn._cache_size() == 1
+
+
 def test_align_identical_graphs_converges():
     adj = np.zeros((5, 5), np.float32)
     for i, j in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]:

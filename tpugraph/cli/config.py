@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import Optional
 
 
@@ -188,8 +189,17 @@ def _to_config(ns: argparse.Namespace) -> Config:
 def apply_platform(cfg: Config) -> None:
     """Optionally force a JAX platform (tests/CI use cpu; the axon
     sitecustomize in some environments pre-sets a TPU platform that must
-    be overridden via live config, not env)."""
-    if cfg.platform:
-        import jax
+    be overridden via live config, not env).  Also points JAX at the
+    persistent compilation cache so repeated CLI runs skip the (remote)
+    compile — multi-minute on TPU platforms with a compile tunnel."""
+    import jax
 
+    if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    cache_dir = os.environ.get("TPUGRAPH_COMPILE_CACHE", ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is best-effort
+        pass

@@ -25,12 +25,18 @@ def _pad_bucket(sub_adj: np.ndarray, sub_feat: np.ndarray, multiple: int = 32):
 _GRAD_FN_CACHE: dict = {}
 
 
-def _grad_fn_cache(model_apply, graph_mode: bool):
-    """One jitted adjacency-gradient function per (model, mode) — reused
-    across query nodes so each padding bucket compiles exactly once."""
-    key = (id(model_apply), graph_mode)
+def _jit_cache(kind: str, model_apply, graph_mode: bool, build):
+    """One jitted function per (kind, model, mode) — reused across query
+    nodes so each padding bucket compiles exactly once (and, on this
+    platform, so per-node calls don't pay eager per-op dispatch)."""
+    key = (kind, id(model_apply), graph_mode)
     if key not in _GRAD_FN_CACHE:
+        _GRAD_FN_CACHE[key] = build()
+    return _GRAD_FN_CACHE[key]
 
+
+def _grad_fn_cache(model_apply, graph_mode: bool):
+    def build():
         @jax.jit
         def adj_grad_fn(params, adj_in, x_in, node_i, lab_i):
             def loss(a, xx):
@@ -41,10 +47,12 @@ def _grad_fn_cache(model_apply, graph_mode: bool):
                     logit = jax.nn.softmax(ypred[0, node_i, :])
                 return -jnp.log(logit[lab_i] + 1e-12)
 
-            return jax.grad(loss, argnums=0)(adj_in, x_in)[0]
+            g = jnp.abs(jax.grad(loss, argnums=0)(adj_in, x_in)[0])
+            return jax.nn.sigmoid(g + g.T)
 
-        _GRAD_FN_CACHE[key] = adj_grad_fn
-    return _GRAD_FN_CACHE[key]
+        return adj_grad_fn
+
+    return _jit_cache("adj_grad", model_apply, graph_mode, build)
 
 
 def grad_saliency(
@@ -69,11 +77,10 @@ def grad_saliency(
     x = jnp.asarray(x_p)[None]
 
     adj_grad_fn = _grad_fn_cache(model_apply, graph_mode)
-    adj_grad = adj_grad_fn(params, adj, x, jnp.asarray(node_idx_new),
-                           jnp.asarray(pred_label))
-    g = jnp.abs(adj_grad)
-    g = g + g.T
-    sal = np.asarray(jax.nn.sigmoid(g))[:n, :n]
+    sal = np.asarray(
+        adj_grad_fn(params, adj, x, jnp.asarray(node_idx_new),
+                    jnp.asarray(pred_label))
+    )[:n, :n]
     return sal * np.asarray(sub_adj)
 
 
@@ -92,15 +99,25 @@ def grad_feat_saliency(
     adj = jnp.asarray(adj_p)[None]
     x = jnp.asarray(x_p)[None]
 
-    def loss(adj_in, x_in):
-        ypred, _ = model_apply(params, x_in, adj_in)
-        if graph_mode:
-            logit = jax.nn.softmax(ypred[0])
-        else:
-            logit = jax.nn.softmax(ypred[0, node_idx_new, :])
-        return -jnp.log(logit[pred_label] + 1e-12)
+    def build():
+        @jax.jit
+        def feat_grad_fn(params, adj_in, x_in, node_i, lab_i):
+            def loss(a, xx):
+                ypred, _ = model_apply(params, xx, a)
+                if graph_mode:
+                    logit = jax.nn.softmax(ypred[0])
+                else:
+                    logit = jax.nn.softmax(ypred[0, node_i, :])
+                return -jnp.log(logit[lab_i] + 1e-12)
 
-    return np.asarray(jax.grad(loss, argnums=1)(adj, x)[0])[:n]
+            return jax.grad(loss, argnums=1)(adj_in, x_in)[0]
+
+        return feat_grad_fn
+
+    fn = _jit_cache("feat_grad", model_apply, graph_mode, build)
+    return np.asarray(
+        fn(params, adj, x, jnp.asarray(node_idx_new), jnp.asarray(pred_label))
+    )[:n]
 
 
 def attention_saliency(
@@ -116,7 +133,16 @@ def attention_saliency(
     adj_p, x_p, n = _pad_bucket(np.asarray(sub_adj), np.asarray(sub_feat))
     adj = jnp.asarray(adj_p)[None]
     x = jnp.asarray(x_p)[None]
-    _, att_all = model_apply(params, x, adj)
-    att_sum = sum(jnp.asarray(a)[0] for a in att_all)
-    sal = np.asarray(jax.nn.sigmoid(att_sum))[:n, :n]
+
+    def build():
+        @jax.jit
+        def att_fn(params, x_in, adj_in):
+            _, att_all = model_apply(params, x_in, adj_in)
+            att_sum = sum(jnp.asarray(a)[0] for a in att_all)
+            return jax.nn.sigmoid(att_sum)
+
+        return att_fn
+
+    fn = _jit_cache("att", model_apply, False, build)
+    sal = np.asarray(fn(params, x, adj))[:n, :n]
     return sal * np.asarray(sub_adj)
