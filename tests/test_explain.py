@@ -183,6 +183,22 @@ def test_batch_run_jit_is_cached(syn1_trained):
     assert fn._cache_size() == 1
 
 
+def test_representer_scores(syn1_trained):
+    from tpugraph.explain.representer import representer_scores
+
+    model, out, cg = syn1_trained
+    n = cg["adj"].shape[1]
+    scores = representer_scores(
+        model.apply, out["params"], cg["adj"], cg["feat"], cg["label"],
+    )
+    assert scores["alpha"].shape == scores["pred"].shape
+    assert scores["pred"].shape[1] == n
+    assert np.all(np.isfinite(scores["alpha"]))
+    # CE gradient wrt logits sums to ~0 per node (softmax - onehot)
+    s = scores["alpha"].sum(axis=-1)
+    np.testing.assert_allclose(s, 0.0, atol=1e-4)
+
+
 def test_align_identical_graphs_converges():
     adj = np.zeros((5, 5), np.float32)
     for i, j in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]:

@@ -16,6 +16,9 @@ import jax.numpy as jnp
 from tpugraph.nn.losses import node_cross_entropy
 
 
+_JIT_CACHE: Dict = {}
+
+
 def representer_scores(
     model_apply,
     params,
@@ -30,11 +33,18 @@ def representer_scores(
     a = jnp.asarray(adj, jnp.float32)
     y = jnp.asarray(label)
 
-    def loss_wrt_preds(logits):
-        return node_cross_entropy(logits, y)
+    fn = _JIT_CACHE.get(id(model_apply))
+    if fn is None:
 
-    logits, _ = model_apply(params, x, a)
-    alpha = jax.grad(loss_wrt_preds)(logits)
+        @jax.jit
+        def fn(params, x, a, y):
+            logits, _ = model_apply(params, x, a)
+            alpha = jax.grad(lambda lg: node_cross_entropy(lg, y))(logits)
+            return alpha, logits
+
+        _JIT_CACHE[id(model_apply)] = fn
+
+    alpha, logits = fn(params, x, a, y)
     return {
         "alpha": np.asarray(alpha),
         "pred": np.asarray(logits),
