@@ -293,6 +293,8 @@ def run_mask_optimization(
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(s)
         updates, o = tx.update(grads, o, s)
         s = optax.apply_updates(s, updates)
+        # reference logs mask density every epoch (explain.py:137-176, 680-683)
+        terms["density"] = mask_density(g, s, cfg, edge_keep)
         return (s, o), terms
 
     (state, _), history = jax.lax.scan(
