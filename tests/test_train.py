@@ -113,3 +113,26 @@ def test_graph_classifier_learns(rng):
     # preds cover fewer graphs than adjs (reference contract,
     # train.py:166-190: 20 batches of tensors, 5 of preds)
     assert out["cg"]["pred"].shape[1] <= out["cg"]["adj"].shape[0]
+
+
+def test_train_node_bcsr_path():
+    """use_bcsr=True trains through the Pallas block-sparse kernel
+    (interpret mode off-TPU) and produces finite, learning metrics."""
+    G, labels, _ = gengraph.gen_syn1(
+        nb_shapes=8,
+        width_basis=40,
+        feature_generator=featgen.ConstFeatureGen(np.ones(10, np.float32)),
+        seed=3,
+    )
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    model = GcnEncoderNode(
+        input_dim=10, hidden_dim=8, embedding_dim=8,
+        label_dim=int(max(labels)) + 1, num_layers=3,
+    )
+    cfg = TrainConfig(num_epochs=40, scan_chunk=20, use_bcsr=True)
+    out = train_node_classifier(model, g, feat, np.asarray(labels), cfg, seed=0)
+    assert np.all(np.isfinite(out["history"]["loss"]))
+    # node padding may have grown to the BCSR block multiple
+    assert out["ypred"].shape[1] >= g.num_nodes_padded
+    assert out["history"]["loss"][-1] < out["history"]["loss"][0]

@@ -77,6 +77,8 @@ class Config:
     eval_every: int = 25
     platform: Optional[str] = None  # None = default (TPU if available), "cpu" to force
     num_devices: int = 0            # 0 = all visible
+    use_bcsr: bool = False          # Pallas block-sparse aggregation (TPU)
+    bcsr_block: int = 128
 
     @property
     def name(self) -> str:
@@ -113,6 +115,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--platform", default=None,
                    help="jax platform override, e.g. cpu")
+    p.add_argument("--bcsr", dest="use_bcsr", action="store_true",
+                   default=d.use_bcsr,
+                   help="use the Pallas block-sparse TPU kernel for "
+                        "node-classification aggregation")
+    p.add_argument("--bcsr-block", dest="bcsr_block", type=int,
+                   default=d.bcsr_block)
 
 
 def parse_train_args(argv=None) -> Config:

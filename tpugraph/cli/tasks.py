@@ -42,6 +42,8 @@ def train_config(cfg: Config) -> TrainConfig:
         opt_decay_rate=cfg.opt_decay_rate,
         opt_restart=cfg.opt_restart,
         eval_every=cfg.eval_every,
+        use_bcsr=cfg.use_bcsr,
+        bcsr_block=cfg.bcsr_block,
     )
 
 

@@ -50,6 +50,8 @@ class TrainConfig:
     opt_restart: int = 200
     eval_every: int = 25
     scan_chunk: int = 25  # epochs fused into one device call
+    use_bcsr: bool = False  # Pallas block-sparse aggregation (TPU fast path)
+    bcsr_block: int = 128   # BCSR tile size (128 or 256; see bench.py)
 
 
 def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> OptimizerConfig:
@@ -112,7 +114,28 @@ def train_node_classifier(
     test_mask = np.zeros((n_pad,), dtype=np.float32)
     test_mask[test_idx] = 1.0
 
-    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    if cfg.use_bcsr:
+        # Pallas block-sparse fast path: pack the adjacency (and its
+        # transpose, for the custom-VJP backward) into MXU tiles once on
+        # the host; node padding may grow to a block multiple.
+        from tpugraph.nn.layers import BCSRAdj
+        from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
+
+        s_np = np.asarray(g.senders)
+        r_np = np.asarray(g.receivers)
+        w_np = np.asarray(g.edge_weight)
+        m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
+        m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
+        sp = BCSRAdj(m, m_t)
+        if m.num_nodes > n_pad:
+            extra = m.num_nodes - n_pad
+            feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
+            labels_pad = np.pad(labels_pad, (0, extra))
+            train_mask = np.pad(train_mask, (0, extra))
+            test_mask = np.pad(test_mask, (0, extra))
+            n_pad = m.num_nodes
+    else:
+        sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
     x = jnp.asarray(feat, dtype=jnp.float32)
     y = jnp.asarray(labels_pad)
     train_mask_d = jnp.asarray(train_mask)
