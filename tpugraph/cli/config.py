@@ -70,6 +70,7 @@ class Config:
     multinode_class: int = -1
     align_steps: int = 1000
     explainer_suffix: str = ""
+    seed_ensemble: int = 1  # >1: average masks over several init seeds
 
     # runtime
     resume: bool = False
@@ -180,6 +181,10 @@ def parse_explain_args(argv=None) -> Config:
                    default=d.explainer_suffix)
     p.add_argument("--explainer-model", dest="explainer_model", default="exp",
                    help="exp | grad | att")
+    p.add_argument("--seed-ensemble", dest="seed_ensemble", type=int,
+                   default=d.seed_ensemble,
+                   help=">1 averages edge gates over several mask-init "
+                        "seeds (stabilizes motif AUC)")
     ns = p.parse_args(argv)
     cfg = _to_config(ns)
     cfg.explainer_model = ns.explainer_model  # type: ignore[attr-defined]

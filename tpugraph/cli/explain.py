@@ -72,6 +72,7 @@ def build_explainer(cfg: Config, explainer_model: str = "exp") -> Explainer:
         lr=cfg.explainer_lr,
         mask_act=cfg.mask_act,
         mask_bias=cfg.mask_bias,
+        seed_ensemble=cfg.seed_ensemble,
     )
     return Explainer(
         model,
