@@ -20,22 +20,26 @@ def test_read_biosnap(tmp_path, rng):
         f.write("# gene_a\tgene_b\n")
         for a, b in edges:
             f.write(f"{a}\t{b}\n")
-    # essentiality labels: genes 1 and 3 essential
+    # two-column essentiality labels (reference io_utils.py:584-592);
+    # gene 5 unlabeled -> dropped
     with open(d / "ess.tsv", "w") as f:
-        f.write("# essential genes\n1\n3\n")
-    # gene-motif features for genes 1..5 (gene 2 missing -> dropped)
+        f.write("1\tEssential\n2\tNon-Essential\n3\tEssential\n"
+                "4\tNon-Essential\n")
+    # gene-motif features for labeled genes (gene 2 missing -> dropped)
     with open(d / "feat.csv", "w") as f:
         f.write("gene,m1,m2,m3\n")
         for g in [1, 3, 4, 5]:
             f.write(f"{g},{rng.random():.3f},{rng.random():.3f},1.0\n")
 
     G = read_biosnap(str(d), "ppi.tsv", "ess.tsv", feat_file="feat.csv")
-    # gene 2 (no features) and the small component are gone
-    assert G.number_of_nodes() == 4
-    labels = [G.nodes[u]["label"] for u in G.nodes()]
-    assert sorted(labels) == [0, 0, 1, 1]
+    # gene 5 (unlabeled), gene 2 (no features), small component all gone
+    assert G.number_of_nodes() == 3
+    labels = sorted(G.nodes[u]["label"] for u in G.nodes())
+    assert labels == [0, 1, 1]
     feat = G.nodes[list(G.nodes())[0]]["feat"]
-    assert feat.shape[0] == 3 + 11  # log-features + degree one-hot
+    # log-features + [1.0] marker + degree one-hot(10)
+    assert feat.shape[0] == 3 + 1 + 10
+    assert feat[3] == 1.0
     # nodes relabeled from 0
     assert min(G.nodes()) == 0
 
@@ -44,10 +48,11 @@ def test_read_biosnap_no_feat_file(tmp_path):
     with open(tmp_path / "ppi.tsv", "w") as f:
         f.write("1\t2\n2\t3\n")
     with open(tmp_path / "ess.tsv", "w") as f:
-        f.write("2\n")
+        f.write("1\tNon-Essential\n2\tEssential\n3\tNon-Essential\n")
     G = read_biosnap(str(tmp_path), "ppi.tsv", "ess.tsv")
     assert G.number_of_nodes() == 3
     assert G.nodes[0]["feat"].shape == (10,)
+    assert sorted(G.nodes[u]["label"] for u in G.nodes()) == [0, 0, 1]
 
 
 def test_load_enron_slices(tmp_path):

@@ -68,6 +68,22 @@ def test_tu_reader(tmp_path):
     assert min(graphs[0]) == 0
 
 
+def test_tu_reader_edge_labels(tmp_path):
+    d = write_tu_dataset(str(tmp_path), "TOY")
+    # count edges to emit one label per _A.txt line (values {2, 7} -> {0, 1})
+    with open(os.path.join(d, "TOY_A.txt")) as f:
+        n_edges = sum(1 for _ in f if _.strip())
+    with open(os.path.join(d, "TOY_edge_labels.txt"), "w") as f:
+        f.write("\n".join("7" if i % 3 == 0 else "2" for i in range(n_edges)))
+    graphs = read_graphfile(str(tmp_path), "TOY", edge_labels=True)
+    seen = set()
+    for G in graphs:
+        for _, _, data in G.edges(data=True):
+            assert data["label"] in (0, 1)
+            seen.add(data["label"])
+    assert seen == {0, 1}
+
+
 def test_benchmark_task_e2e(tmp_path):
     write_tu_dataset(str(tmp_path), "TOY")
     cfg = Config(bmname="TOY", datadir=str(tmp_path), num_epochs=25,

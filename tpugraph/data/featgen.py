@@ -61,14 +61,15 @@ class GridFeatureGen(FeatureGen):
         self.rng = rng or np.random.default_rng()
 
     def gen_node_features(self, G: nx.Graph):
-        community_dict = {
-            n: self.com_choices[0] if G.degree(n) < 4 else self.com_choices[1]
-            for n in G.nodes()
-        }
-        s = self.rng.normal(self.mu, self.sigma, G.number_of_nodes())
-        feat_dict = {
-            n: {"feat": np.asarray([community_dict[n], s[i]], dtype=np.float32)}
-            for i, n in enumerate(G.nodes())
-        }
-        nx.set_node_attributes(G, feat_dict)
-        return community_dict
+        # Community membership: low-degree (< 4) nodes get the first choice,
+        # high-degree nodes the second; feature = [community, noise].
+        nodes = list(G.nodes())
+        degrees = np.array([G.degree(n) for n in nodes])
+        communities = np.where(degrees < 4, self.com_choices[0],
+                               self.com_choices[1])
+        noise = self.rng.normal(self.mu, self.sigma, len(nodes))
+        feats = np.stack([communities, noise], axis=1).astype(np.float32)
+        nx.set_node_attributes(
+            G, {n: {"feat": feats[i]} for i, n in enumerate(nodes)}
+        )
+        return dict(zip(nodes, communities.tolist()))

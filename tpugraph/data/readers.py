@@ -15,88 +15,96 @@ import networkx as nx
 import numpy as np
 
 
+def _read_int_column(path: str) -> Optional[List[int]]:
+    """One integer per non-blank line, or None if the file is absent."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [int(line) for line in f if line.strip()]
+
+
+def _dense_remap(values: List[int]) -> List[int]:
+    """Remap arbitrary integer categories onto 0..C-1 (sorted order)."""
+    lut = {v: c for c, v in enumerate(sorted(set(values)))}
+    return [lut[v] for v in values]
+
+
 def read_graphfile(
-    datadir: str, dataname: str, max_nodes: Optional[int] = None
+    datadir: str,
+    dataname: str,
+    max_nodes: Optional[int] = None,
+    edge_labels: bool = False,
 ) -> List[nx.Graph]:
-    """Parse the TU graph-kernel format (reference ``read_graphfile``,
-    ``io_utils.py:426-562``): ``_graph_indicator``, ``_A`` edge list,
-    optional ``_node_labels`` (one-hot into node['label']),
-    ``_node_attributes`` (node['feat']), ``_graph_labels`` remapped to
-    0..C-1.  Graphs larger than ``max_nodes`` are dropped; node ids are
-    relabeled from 0 per graph."""
+    """Parse the TU graph-kernel format.
+
+    Behavioral contract (reference ``read_graphfile``,
+    ``io_utils.py:426-562``): ``<name>_graph_indicator.txt`` maps 1-based
+    node ids to 1-based graph ids; ``<name>_A.txt`` is a comma-separated
+    edge list over global node ids; optional ``_node_labels`` become
+    one-hot ``node['label']`` lists, optional ``_node_attributes`` become
+    float ``node['feat']`` vectors; ``_graph_labels`` are remapped to
+    0..C-1 into ``G.graph['label']``.  With ``edge_labels=True``, the
+    optional ``_edge_labels.txt`` is remapped to 0..C-1 and stored per
+    edge as ``G.edges[u, v]['label']`` (the reference parses this file for
+    Tox21_AHR, ``io_utils.py:490-504``).  Graphs larger than ``max_nodes``
+    are dropped; each kept graph is relabeled with node ids from 0.
+    """
     prefix = os.path.join(datadir, dataname, dataname)
 
-    filename_graph_indic = prefix + "_graph_indicator.txt"
-    graph_indic = {}
-    with open(filename_graph_indic) as f:
-        for i, line in enumerate(f, start=1):
-            graph_indic[i] = int(line.strip())
+    # graph_of_node[i] = 0-based graph id owning 1-based node id i+1
+    graph_of_node = np.asarray(
+        _read_int_column(prefix + "_graph_indicator.txt"), dtype=np.int64
+    ) - 1
+    num_graphs = int(graph_of_node.max()) + 1
 
-    node_labels = []
-    try:
-        with open(prefix + "_node_labels.txt") as f:
-            node_labels = [int(line.strip()) for line in f]
-        num_unique = len(set(node_labels))
-        label_vals = sorted(set(node_labels))
-        label_map = {v: i for i, v in enumerate(label_vals)}
-        node_labels = [label_map[l] for l in node_labels]
-    except IOError:
-        num_unique = 0
+    graph_labels = _dense_remap(_read_int_column(prefix + "_graph_labels.txt"))
 
-    node_attrs = []
-    try:
-        with open(prefix + "_node_attributes.txt") as f:
+    raw_node_labels = _read_int_column(prefix + "_node_labels.txt")
+    node_onehots: Optional[np.ndarray] = None
+    if raw_node_labels is not None:
+        dense = _dense_remap(raw_node_labels)
+        node_onehots = np.eye(max(dense) + 1, dtype=np.int64)[dense]
+
+    node_feats: Optional[List[np.ndarray]] = None
+    attr_path = prefix + "_node_attributes.txt"
+    if os.path.exists(attr_path):
+        node_feats = []
+        with open(attr_path) as f:
             for line in f:
-                line = line.strip("\n")
-                attrs = [
-                    float(attr)
-                    for attr in line.replace("\\s+", "").split(",")
-                    if attr != ""
-                ]
-                node_attrs.append(np.array(attrs, dtype=np.float32))
-    except IOError:
-        pass
+                vals = [float(tok) for tok in line.split(",") if tok.strip()]
+                node_feats.append(np.asarray(vals, dtype=np.float32))
 
-    graph_labels = []
-    with open(prefix + "_graph_labels.txt") as f:
-        for line in f:
-            graph_labels.append(int(line.strip()))
-    label_vals = sorted(set(graph_labels))
-    label_map = {v: i for i, v in enumerate(label_vals)}
-    graph_labels = np.array([label_map[l] for l in graph_labels])
-
-    adj_list: dict = {i + 1: [] for i in range(max(graph_indic.values()))}
-    index_graph: dict = {i + 1: [] for i in range(max(graph_indic.values()))}
-    num_edges = 0
+    per_graph_edges: List[list] = [[] for _ in range(num_graphs)]
     with open(prefix + "_A.txt") as f:
-        for line in f:
-            line = line.strip("\n").split(",")
-            e0, e1 = int(line[0].strip()), int(line[1].strip())
-            adj_list[graph_indic[e0]].append((e0, e1))
-            index_graph[graph_indic[e0]] += [e0, e1]
-            num_edges += 1
-    for k in index_graph.keys():
-        index_graph[k] = [u - 1 for u in set(index_graph[k])]
+        raw_edges = [tuple(int(tok) for tok in line.split(",")[:2])
+                     for line in f if line.strip()]
+    edge_label_col = (
+        _dense_remap(_read_int_column(prefix + "_edge_labels.txt") or [0])
+        if edge_labels and os.path.exists(prefix + "_edge_labels.txt")
+        else None
+    )
+    for k, (u, v) in enumerate(raw_edges):
+        gid = graph_of_node[u - 1]
+        if edge_label_col is not None:
+            per_graph_edges[gid].append((u, v, {"label": edge_label_col[k]}))
+        else:
+            per_graph_edges[gid].append((u, v))
 
     graphs = []
-    for i in range(1, 1 + len(adj_list)):
-        G = nx.from_edgelist(adj_list[i])
-        if max_nodes is not None and max_nodes > 0 and G.number_of_nodes() > max_nodes:
+    for gid in range(num_graphs):
+        G = nx.Graph()
+        G.add_edges_from(per_graph_edges[gid])
+        if max_nodes is not None and 0 < max_nodes < G.number_of_nodes():
             continue
-        G.graph["label"] = int(graph_labels[i - 1])
+        G.graph["label"] = graph_labels[gid]
         for u in G.nodes():
-            if len(node_labels) > 0:
-                node_label_one_hot = [0] * num_unique
-                node_label = node_labels[u - 1]
-                node_label_one_hot[node_label] = 1
-                G.nodes[u]["label"] = node_label_one_hot
-            if len(node_attrs) > 0:
-                G.nodes[u]["feat"] = node_attrs[u - 1]
-        if len(node_attrs) > 0:
-            G.graph["feat_dim"] = node_attrs[0].shape[0]
-
-        mapping = {n: it for it, n in enumerate(G.nodes())}
-        graphs.append(nx.relabel_nodes(G, mapping))
+            if node_onehots is not None:
+                G.nodes[u]["label"] = node_onehots[u - 1].tolist()
+            if node_feats is not None:
+                G.nodes[u]["feat"] = node_feats[u - 1]
+        if node_feats is not None:
+            G.graph["feat_dim"] = int(node_feats[0].shape[0])
+        graphs.append(nx.relabel_nodes(G, {n: i for i, n in enumerate(G.nodes())}))
     return graphs
 
 
@@ -105,74 +113,79 @@ def read_biosnap(
     edgelist_file: str,
     label_file: str,
     feat_file: Optional[str] = None,
+    concat: bool = True,
 ) -> nx.Graph:
-    """BioSnap PPI + essentiality labels (+ optional gene-motif features,
-    log-transformed and concatenated with a degree one-hot).  Keeps the
-    largest connected component and drops unlabeled / featureless nodes
-    (reference ``read_biosnap``, ``io_utils.py:565-634``)."""
+    """BioSnap PPI graph with gene-essentiality labels.
+
+    Behavioral contract (reference ``read_biosnap``,
+    ``io_utils.py:565-634``): build the graph from the edge list (TSV or
+    CSV) and keep the largest connected component; the label file is a
+    two-column TSV ``gene<TAB>Essential|Non-Essential`` and a node's label
+    is ``1`` iff its second column equals ``"Essential"`` — nodes absent
+    from the label file are dropped.  Without a feature file every node
+    gets constant ``ones(10)``; with one, each row ``gene,v1..vD`` yields
+    ``feat = [log(v + 0.1)..., 1.0, degree-onehot(10)]`` (``concat=True``)
+    or just the log-features, and featureless nodes are dropped.
+    """
     import csv
 
     G = nx.Graph()
-    delimiter = "\t" if edgelist_file.endswith(".tsv") else ","
+    delimiter = "\t" if "tsv" in edgelist_file else ","
     with open(os.path.join(datadir, edgelist_file)) as f:
         for row in csv.reader(f, delimiter=delimiter):
-            if not row or row[0].startswith("#"):
+            if not row or row[0].lstrip().startswith("#"):
                 continue
             try:
-                u, v = int(row[0]), int(row[1])
+                G.add_edge(int(row[0]), int(row[1]))
             except ValueError:
                 continue
-            G.add_edge(u, v)
 
-    # essentiality labels: nodes listed in the label file are essential (1)
-    essential = set()
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+
+    # Two-column essentiality parse: label = (second column == "Essential").
+    # Nodes never mentioned in the label file stay unlabeled and are dropped.
     with open(os.path.join(datadir, label_file)) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
+        for row in csv.reader(f, delimiter="\t"):
+            if len(row) < 2 or row[0].lstrip().startswith("#"):
                 continue
             try:
-                essential.add(int(line.split()[0]))
+                gene = int(row[0])
             except ValueError:
                 continue
-    missing = 0
-    for u in G.nodes():
-        G.nodes[u]["label"] = 1 if u in essential else 0
-    if len(essential) == 0:
-        missing += 1
+            if gene in G:
+                G.nodes[gene]["label"] = int(row[1].strip() == "Essential")
+    G.remove_nodes_from([u for u in G.nodes() if "label" not in G.nodes[u]])
 
-    if feat_file is not None:
-        feat_path = os.path.join(datadir, feat_file)
-        feats = {}
-        with open(feat_path) as f:
+    if feat_file is None:
+        for u in G.nodes():
+            G.nodes[u]["feat"] = np.ones(10, dtype=np.float32)
+    else:
+        with open(os.path.join(datadir, feat_file)) as f:
             reader = csv.reader(f)
-            header = next(reader)
+            next(reader)  # header row
             for row in reader:
                 try:
                     gene = int(row[0])
                 except ValueError:
                     continue
-                vec = np.array([float(x) if x else 0.0 for x in row[1:]],
-                               dtype=np.float32)
-                feats[gene] = np.log(vec + 0.1)
-        deg_max = 10
-        for u in list(G.nodes()):
-            if u not in feats:
-                G.remove_node(u)
-                continue
-        for u in G.nodes():
-            onehot = np.zeros(deg_max + 1, dtype=np.float32)
-            onehot[min(G.degree[u], deg_max)] = 1.0
-            G.nodes[u]["feat"] = np.concatenate([feats[u], onehot])
-    else:
-        for u in G.nodes():
-            G.nodes[u]["feat"] = np.ones(10, dtype=np.float32)
+                if gene not in G:
+                    continue
+                logfeat = np.log(
+                    np.array([float(x) if x else 0.0 for x in row[1:]],
+                             dtype=np.float32) + 0.1
+                )
+                if concat:
+                    onehot = np.zeros(10, dtype=np.float32)
+                    # degree-1 in bucket 0, ..., degree >= 10 in bucket 9
+                    onehot[max(min(G.degree[gene], 10) - 1, 0)] = 1.0
+                    G.nodes[gene]["feat"] = np.concatenate(
+                        [logfeat, [1.0], onehot]
+                    ).astype(np.float32)
+                else:
+                    G.nodes[gene]["feat"] = logfeat
+        G.remove_nodes_from([u for u in G.nodes() if "feat" not in G.nodes[u]])
 
-    # largest connected component
-    largest = max(nx.connected_components(G), key=len)
-    G = G.subgraph(largest).copy()
-    G = nx.relabel_nodes(G, {n: i for i, n in enumerate(G.nodes())})
-    return G
+    return nx.relabel_nodes(G, {n: i for i, n in enumerate(G.nodes())})
 
 
 ENRON_LABELS = {

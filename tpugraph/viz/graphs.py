@@ -25,53 +25,76 @@ def denoise_graph(
     threshold_num: Optional[int] = None,
     max_component: bool = True,
 ) -> nx.Graph:
-    """Threshold a weighted mask into an explanation subgraph (reference
-    ``denoise_graph``, ``io_utils.py:193-245``): keep edges above a weight
-    threshold or the top-k edges, then keep the largest connected
-    component (or drop isolated nodes)."""
+    """Threshold a weighted mask into an explanation subgraph.
+
+    Behavioral contract (reference ``denoise_graph``,
+    ``io_utils.py:193-245``): given a dense symmetric mask, keep entries
+    with weight ``>= threshold`` — or, with ``threshold_num``, the top-k
+    *undirected* edges — as a weighted nx.Graph; the query node carries a
+    ``self`` marker, nodes optionally carry ``feat``/``label``; finally
+    restrict to the largest connected component (or drop isolates).
+    """
+    adj = np.asarray(adj)
     num_nodes = adj.shape[-1]
+
+    if threshold_num is not None:
+        # A symmetric mask stores every undirected edge in both triangles,
+        # so the k-th largest undirected weight is the (2k)-th entry.
+        positive = adj[adj > 0]
+        keep = min(2 * threshold_num, positive.size)
+        threshold = float(np.partition(positive, -keep)[-keep]) if keep else 1.0
+
+    cutoff = 1e-6 if threshold is None else threshold
+    rows, cols = np.nonzero(adj > cutoff if threshold is None else adj >= cutoff)
+
     G = nx.Graph()
     G.add_nodes_from(range(num_nodes))
     G.nodes[node_idx]["self"] = 1
     if feat is not None:
-        for node in G.nodes():
-            G.nodes[node]["feat"] = feat[node]
+        nx.set_node_attributes(G, {u: feat[u] for u in range(num_nodes)}, "feat")
     if label is not None:
-        for node in G.nodes():
-            G.nodes[node]["label"] = label[node]
+        nx.set_node_attributes(G, {u: label[u] for u in range(num_nodes)}, "label")
+    G.add_weighted_edges_from(
+        zip(rows.tolist(), cols.tolist(), adj[rows, cols].tolist())
+    )
 
-    if threshold_num is not None:
-        # symmetric adj stores each edge twice
-        adj_threshold_num = threshold_num * 2
-        neigh_size = len(adj[adj > 0])
-        threshold_num = min(neigh_size, adj_threshold_num)
-        if threshold_num > 0:
-            threshold = np.sort(adj[adj > 0])[-threshold_num]
-        else:
-            threshold = 1.0
-
-    if threshold is not None:
-        weighted_edge_list = [
-            (i, j, adj[i, j])
-            for i in range(num_nodes)
-            for j in range(num_nodes)
-            if adj[i, j] >= threshold
-        ]
-    else:
-        weighted_edge_list = [
-            (i, j, adj[i, j])
-            for i in range(num_nodes)
-            for j in range(num_nodes)
-            if adj[i, j] > 1e-6
-        ]
-    G.add_weighted_edges_from(weighted_edge_list)
-    if max_component:
-        if G.number_of_edges() > 0:
-            largest_cc = max(nx.connected_components(G), key=len)
-            G = G.subgraph(largest_cc).copy()
-    else:
+    if not max_component:
         G.remove_nodes_from(list(nx.isolates(G)))
+    elif G.number_of_edges() > 0:
+        G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
     return G
+
+
+def _node_palette(Gc: nx.Graph, nodecolor: str):
+    """Pick a categorical colormap wide enough for the node classes drawn.
+
+    In ``feat`` mode the class id is the hot index of a one-hot feature,
+    so the palette must cover the feature dimension; otherwise the small
+    qualitative palette suffices (contract of reference ``log_graph``).
+    """
+    if nodecolor == "feat":
+        for _, data in Gc.nodes(data=True):
+            if "feat" in data:
+                dim = int(np.asarray(data["feat"]).size)
+                if dim > 9:
+                    return "tab20", 19
+                if dim > 8:
+                    return "tab10", 9
+                break
+    return "Set1", 8
+
+
+def _node_color_class(data: dict, nodecolor: str, identify_self: bool):
+    """Return (palette index, one-hot class or None) for one node."""
+    if identify_self and "self" in data:
+        return 0, None
+    if nodecolor == "label" and "label" in data:
+        return int(data["label"]) + 1, None
+    if nodecolor == "feat" and "feat" in data:
+        hot = np.flatnonzero(np.asarray(data["feat"]) == 1)
+        cls = int(hot[0]) if hot.size else 0
+        return cls, cls
+    return 1, None
 
 
 def log_graph(
@@ -86,96 +109,61 @@ def log_graph(
     label_node_feat: bool = False,
     edge_vmax: Optional[float] = None,
 ) -> str:
-    """Render an explanation subgraph to PDF (reference ``log_graph``,
-    ``io_utils.py:248-360``): kamada-kawai layout, node color by
-    label/feat, edge grayscale by mask weight, query node highlighted.
-    Returns the written path."""
+    """Render an explanation subgraph to PDF.
+
+    Behavioral contract (reference ``log_graph``, ``io_utils.py:248-360``):
+    kamada-kawai layout; nodes colored by ``label``/``feat`` class with the
+    query node (``self`` attribute) highlighted in a distinct color; edges
+    drawn in grayscale by mask weight with the lightest edge anchored at
+    mid-gray (never white) and the heaviest at black. Returns the written
+    path, or "" for an empty graph.
+    """
+    if Gc.number_of_nodes() == 0 or Gc.number_of_edges() == 0:
+        return ""
+
     import matplotlib
 
     matplotlib.use("agg")
     import matplotlib.pyplot as plt
 
-    cmap = plt.get_cmap("Set1")
-    plt.switch_backend("agg")
-    fig = plt.figure(figsize=fig_size, dpi=dpi)
-
+    palette, vmax = _node_palette(Gc, nodecolor)
     node_colors = []
-    edge_colors = [w for (u, v, w) in Gc.edges.data("weight", default=1)]
-
-    # maximum value for node color
-    vmax = 8
-    for i in Gc.nodes():
-        if nodecolor == "feat" and "feat" in Gc.nodes[i]:
-            num_classes = Gc.nodes[i]["feat"].size
-            if num_classes > 9:
-                cmap = plt.get_cmap("tab20")
-                vmax = 19
-            elif num_classes > 8:
-                cmap = plt.get_cmap("tab10")
-                vmax = 9
-            break
-
     feat_labels = {}
-    for i in Gc.nodes():
-        if identify_self and "self" in Gc.nodes[i]:
-            node_colors.append(0)
-        elif nodecolor == "label" and "label" in Gc.nodes[i]:
-            node_colors.append(Gc.nodes[i]["label"] + 1)
-        elif nodecolor == "feat" and "feat" in Gc.nodes[i]:
-            feat = Gc.nodes[i]["feat"]
-            feat_class = 0
-            for j in range(len(feat)):
-                if feat[j] == 1:
-                    feat_class = j
-                    break
-            node_colors.append(feat_class)
-            feat_labels[i] = feat_class
-        else:
-            node_colors.append(1)
-    if not label_node_feat:
-        feat_labels = None
+    for u, data in Gc.nodes(data=True):
+        idx, cls = _node_color_class(data, nodecolor, identify_self)
+        node_colors.append(idx)
+        if cls is not None:
+            feat_labels[u] = cls
 
-    plt.switch_backend("agg")
-    if Gc.number_of_nodes() == 0 or Gc.number_of_edges() == 0:
-        plt.close(fig)
-        return ""
-
-    pos_layout = nx.kamada_kawai_layout(Gc, weight=None)
-    weights = [d for (u, v, d) in Gc.edges(data="weight", default=1)]
-    if edge_vmax is None:
-        edge_vmax = statistics_max(weights)
-    min_color = min(weights)
-    edge_vmin = 2 * min_color - edge_vmax  # color range: gray to black
-    nx.draw(
-        Gc,
-        pos=pos_layout,
-        with_labels=False,
-        font_size=4,
-        labels=feat_labels,
-        node_color=node_colors,
-        vmin=0,
-        vmax=vmax,
-        cmap=cmap,
-        edge_color=edge_colors,
-        edge_cmap=plt.get_cmap("Greys"),
-        edge_vmin=edge_vmin,
-        edge_vmax=edge_vmax,
-        width=1.0,
-        node_size=50,
-        alpha=0.8,
+    weights = np.asarray(
+        [w for (_, _, w) in Gc.edges.data("weight", default=1.0)], dtype=float
     )
-    fig.axes[0].xaxis.set_visible(False)
-    fig.canvas.draw()
+    hi = float(edge_vmax) if edge_vmax is not None else float(weights.max())
+    lo = float(weights.min())
+    # Anchor the grayscale window one weight-span below the lightest edge so
+    # every edge lands in the upper (gray..black) half of the Greys cmap.
+    gray_floor = lo - (hi - lo)
+
+    fig = plt.figure(figsize=fig_size, dpi=dpi)
+    ax = fig.add_subplot(111)
+    pos = nx.kamada_kawai_layout(Gc, weight=None)
+    nx.draw_networkx_nodes(
+        Gc, pos, ax=ax, node_size=50, alpha=0.8, node_color=node_colors,
+        cmap=plt.get_cmap(palette), vmin=0, vmax=vmax,
+    )
+    nx.draw_networkx_edges(
+        Gc, pos, ax=ax, width=1.0, alpha=0.8, edge_color=weights,
+        edge_cmap=plt.get_cmap("Greys"), edge_vmin=gray_floor, edge_vmax=hi,
+    )
+    if label_node_feat and feat_labels:
+        nx.draw_networkx_labels(Gc, pos, labels=feat_labels, font_size=4, ax=ax)
+    ax.set_axis_off()
 
     save_path = os.path.join(outdir, f"{name.replace('/', '_')}_{epoch}.pdf")
     os.makedirs(os.path.dirname(save_path), exist_ok=True)
-    plt.savefig(save_path, format="pdf")
+    fig.savefig(save_path, format="pdf")
     plt.close(fig)
     return save_path
-
-
-def statistics_max(values):
-    return max(values) if len(values) > 0 else 1.0
 
 
 def exp_moving_avg(values, decay: float = 0.85):
