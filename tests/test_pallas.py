@@ -159,6 +159,116 @@ def test_graphconv_bcsr_path_matches_dense(rng):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
+def test_bcsr_transpose_plan(rng):
+    from tpugraph.ops.bcsr import bcsr_transpose_plan, transpose_tiles
+
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.02)
+    # break symmetry of VALUES (support stays symmetric)
+    w2 = rng.random(len(s)).astype(np.float32)
+    m = bcsr_from_coo(s, r, w2, n)
+    tp = bcsr_transpose_plan(m)
+    t_tiles = np.asarray(transpose_tiles(m.tiles, tp))
+    got = np.zeros((m.num_nodes, m.num_nodes), np.float32)
+    b = m.block
+    row = np.asarray(tp.row_of)
+    col = np.asarray(tp.col_blk)
+    for t in range(tp.num_tiles):
+        got[row[t] * b:(row[t] + 1) * b, col[t] * b:(col[t] + 1) * b] += t_tiles[t]
+    np.testing.assert_allclose(got, bcsr_to_dense(m).T, atol=1e-6)
+
+
+def test_bcsr_matvec_dw_tile_gradient(rng):
+    """Gradients flow into the tile VALUES and match the dense oracle."""
+    from tpugraph.ops.bcsr import bcsr_transpose_plan
+    from tpugraph.ops.pallas_spmm import bcsr_matvec_dw
+
+    s, r, w, dense, n = random_coo(rng, n=140)
+    m = bcsr_from_coo(s, r, w, n)
+    tp = bcsr_transpose_plan(m)
+    x = jnp.asarray(rng.standard_normal((m.num_nodes, 128)).astype(np.float32))
+    g_out = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+
+    def loss(tiles, xx):
+        import dataclasses
+        mm = dataclasses.replace(m, tiles=tiles)
+        y = bcsr_matvec_dw(mm, tp, xx, interpret=True)
+        return jnp.sum(y * jnp.asarray(g_out))
+
+    dtiles, dx = jax.grad(loss, argnums=(0, 1))(m.tiles, x)
+    # dense oracle: dW = g @ x^T on support; dx = W^T @ g
+    W = bcsr_to_dense(m)
+    dW = (g_out @ np.asarray(x).T) * (W != 0)
+    got = np.zeros_like(W)
+    b = m.block
+    row, col = np.asarray(m.row_of), np.asarray(m.col_blk)
+    dt = np.asarray(dtiles)
+    for t in range(m.num_tiles):
+        got[row[t] * b:(row[t] + 1) * b, col[t] * b:(col[t] + 1) * b] += dt[t]
+    np.testing.assert_allclose(got, dW, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dx), W.T @ g_out, atol=1e-2)
+
+
+def test_sddmm_dw_gradients(rng):
+    from tpugraph.ops.bcsr import bcsr_transpose_plan
+    from tpugraph.ops.pallas_spmm import sddmm_dw
+
+    s, r, w, dense, n = random_coo(rng, n=140)
+    m = bcsr_from_coo(s, r, w, n)
+    tp = bcsr_transpose_plan(m)
+    a = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    bb = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    g_sc = rng.standard_normal((m.num_tiles, m.block, m.block)).astype(np.float32)
+
+    def loss(aa, xx):
+        sc = sddmm_dw(m, tp, aa, xx, interpret=True)
+        return jnp.sum(sc * jnp.asarray(g_sc))
+
+    da, db = jax.grad(loss, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(bb))
+    # dense oracle: S = (a b^T) * support; da = (G*support) @ b, db = (G*support)^T @ a
+    support = bcsr_to_dense(m) != 0
+    G = np.zeros(support.shape, np.float32)
+    blk = m.block
+    row, col = np.asarray(m.row_of), np.asarray(m.col_blk)
+    for t in range(m.num_tiles):
+        G[row[t] * blk:(row[t] + 1) * blk, col[t] * blk:(col[t] + 1) * blk] += g_sc[t]
+    G = G * support
+    np.testing.assert_allclose(np.asarray(da), G @ bb, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(db), G.T @ a, atol=1e-2)
+
+
+def test_gat_bcsr_matches_sparse(rng):
+    """GAT attention on the BCSR path == the SparseAdj SDDMM path."""
+    from tpugraph.core.graph import graph_from_edges
+    from tpugraph.nn.layers import BCSRAdj, GraphConv, SparseAdj
+    from tpugraph.ops.bcsr import bcsr_transpose_plan
+
+    s, r, w, dense, n = random_coo(rng, n=100, p=0.05)
+    m = bcsr_from_coo(s, r, w, n)
+    tp = bcsr_transpose_plan(m)
+    g = graph_from_edges(s, r, n, edge_weight=w,
+                         num_nodes_padded=m.num_nodes)
+    layer = GraphConv(input_dim=7, output_dim=5, att=True)
+    x = rng.standard_normal((m.num_nodes, 7)).astype(np.float32)
+    x = x * (np.arange(m.num_nodes) < n)[:, None]
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        SparseAdj(g.senders, g.receivers, g.edge_weight))
+    y_coo, _ = layer.apply(params, jnp.asarray(x),
+                           SparseAdj(g.senders, g.receivers, g.edge_weight))
+    y_bcsr, _ = layer.apply(params, jnp.asarray(x), BCSRAdj(m, tp=tp))
+    np.testing.assert_allclose(np.asarray(y_bcsr)[:n], np.asarray(y_coo)[:n],
+                               atol=1e-3)
+
+    def loss(p):
+        y, _ = layer.apply(p, jnp.asarray(x), BCSRAdj(m, tp=tp))
+        return jnp.sum(y[:n] ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    att_g = grads["params"]["att_weight"]
+    assert float(jnp.sum(jnp.abs(att_g))) > 0
+
+
 @pytest.mark.parametrize("block", [128, 256])
 def test_spmm_bf16_and_blocks(rng, block):
     import dataclasses

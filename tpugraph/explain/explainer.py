@@ -255,6 +255,99 @@ class Explainer:
             )
         return results
 
+    def explain_node_bcsr(
+        self,
+        node_idx: int,
+        graph_idx: int = 0,
+        block: int = 128,
+        restrict_khop: bool = True,
+    ) -> Dict:
+        """Single-query explanation on the Pallas BCSR fast path.
+
+        Complements :meth:`explain_nodes_batch`: the vmapped COO path wins
+        for many small k-hop queries; this tile-space path wins when the
+        computation graph itself is huge (1e5+ nodes) — the mask gradient
+        is an on-support SDDMM on the MXU instead of a segment_sum
+        scatter (~64x measured, BENCH_r01).  ``restrict_khop=False``
+        optimizes the mask over the entire graph (an L-layer GCN's
+        receptive field bounds what matters; useful for whole-graph
+        benching).  Same return contract as an ``explain_nodes_batch``
+        element."""
+        from tpugraph.explain.bcsr_explain import (
+            run_bcsr_mask_optimization,
+            tiles_to_edge_weights,
+        )
+        from tpugraph.ops.bcsr import (
+            bcsr_from_coo,
+            bcsr_sym_partner,
+            bcsr_transpose_plan,
+        )
+
+        g = self._graph(graph_idx)
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        w = np.asarray(g.edge_weight)
+        if restrict_khop:
+            nb = _khop_batch(
+                g, jnp.asarray([node_idx], dtype=jnp.int32), self.n_hops
+            )
+            node_keep = np.asarray(nb.node_mask[0])
+            w_eff = w * np.asarray(nb.edge_mask[0])
+            num_sub = int(nb.num_nodes[0])
+            new_index = int(nb.new_index[0])
+        else:
+            node_keep = np.asarray(g.node_mask)
+            w_eff = w
+            num_sub = int(g.n_node)
+            new_index = int(node_idx)
+
+        m = bcsr_from_coo(s, r, w_eff, g.num_nodes_padded, block=block)
+        tp = bcsr_transpose_plan(m)
+        partner = jnp.asarray(bcsr_sym_partner(m))
+        x = np.zeros((m.num_nodes, self.feat.shape[-1]), dtype=np.float32)
+        x[: self.feat.shape[1]] = self.feat[graph_idx]
+        pred_vec = np.zeros((m.num_nodes,), dtype=np.int32)
+        pl = np.argmax(self.pred[graph_idx], axis=-1)
+        pred_vec[: pl.shape[0]] = pl
+        gt = int(self.label[graph_idx][node_idx])
+
+        if not hasattr(self, "_bcsr_run") or self._bcsr_run is None:
+            cfg = self.cfg
+            model_apply = self._model_apply
+
+            def run_one(params, m, tp, partner, x, ni, gt, pv, ns, key):
+                return run_bcsr_mask_optimization(
+                    model_apply, params, m, tp, partner, x,
+                    node_idx=ni, gt_label=gt, pred_label_vec=pv,
+                    num_sub_nodes=ns, key=key, cfg=cfg,
+                )
+
+            self._bcsr_run = jax.jit(run_one)
+
+        t0 = time.time()
+        state, w_tiles, hist = self._bcsr_run(
+            self.params, m, tp, partner, jnp.asarray(x),
+            jnp.asarray(node_idx, jnp.int32), jnp.asarray(gt, jnp.int32),
+            jnp.asarray(pred_vec), jnp.asarray(num_sub, jnp.int32),
+            jax.random.PRNGKey(self.seed),
+        )
+        w_edges = tiles_to_edge_weights(m, np.asarray(w_tiles), s, r)
+        if self.print_training:
+            print(
+                f"bcsr-explained node {node_idx} "
+                f"({m.num_tiles} tiles of {block}^2) in "
+                f"{time.time() - t0:.2f}s"
+            )
+        neighbors = np.nonzero(node_keep)[0]
+        return {
+            "node_idx": int(node_idx),
+            "node_idx_new": new_index,
+            "neighbors": neighbors,
+            "masked_adj": self._densify_mask(g, w_edges, neighbors),
+            "history": {k: np.asarray(v) for k, v in hist.items()},
+            "feat_mask": np.asarray(jax.nn.sigmoid(state.feat_logits)),
+        }
+
     def _get_batch_run(self, mesh, unconstrained: bool):
         """Build (once) the jitted vmapped mask-optimization runner.
 

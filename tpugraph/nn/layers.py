@@ -42,14 +42,22 @@ class SparseAdj(NamedTuple):
 
 
 class BCSRAdj(NamedTuple):
-    """Block-sparse adjacency pair (A, A^T) for the Pallas MXU fast path
-    (``tpugraph.ops.pallas_spmm``).  Build with
-    ``tpugraph.ops.bcsr.bcsr_from_coo`` / ``bcsr_transpose_host``.
-    Feature dims are lane-padded to 128 internally.  GAT attention is not
-    supported on this path (use SparseAdj)."""
+    """Block-sparse adjacency for the Pallas MXU fast path
+    (``tpugraph.ops.pallas_spmm``).  Feature dims are lane-padded to 128
+    internally.  Two flavors:
 
-    m: "object"    # BCSR
-    m_t: "object"  # BCSR of A^T
+    * static weights — pass ``m_t`` (BCSR of A^T, built with
+      ``bcsr_transpose_host``): fastest, but gradients do not flow into
+      the tile values.
+    * differentiable weights — pass ``tp`` (a
+      ``tpugraph.ops.bcsr.bcsr_transpose_plan``): gradients flow into
+      ``m.tiles`` via an on-support SDDMM, enabling learned masked
+      adjacencies (the explainer) and GAT attention on this path.
+    """
+
+    m: "object"          # BCSR
+    m_t: "object" = None  # BCSR of A^T (static-weights fast path)
+    tp: "object" = None   # BCSRTranspose plan (differentiable-weights path)
 
 
 Adjacency = Union[jax.Array, SparseAdj, BCSRAdj]
@@ -97,20 +105,43 @@ class GraphConv(nn.Module):
             x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
 
         if isinstance(adj, BCSRAdj):
-            if self.att:
-                raise NotImplementedError(
-                    "GAT attention is not supported on the BCSR path; "
-                    "use SparseAdj"
-                )
-            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+            from tpugraph.ops.pallas_spmm import (
+                LANES,
+                bcsr_matvec,
+                bcsr_matvec_dw,
+                sddmm_dw,
+            )
 
             d_in = x.shape[-1]
             d_pad = ((d_in + LANES - 1) // LANES) * LANES
             x_p = x
             if d_pad != d_in:
                 x_p = jnp.pad(x, ((0, 0), (0, d_pad - d_in)))
-            y = bcsr_matvec(adj.m, adj.m_t, x_p)[:, :d_in]
-            adj_att: Adjacency = adj
+            if self.att:
+                if adj.tp is None:
+                    raise NotImplementedError(
+                        "GAT attention on the BCSR path needs a transpose "
+                        "plan: BCSRAdj(m, tp=bcsr_transpose_plan(m))"
+                    )
+                # attention scores restricted to tile support — the
+                # block-sparse SDDMM analog of reference models.py:62-68
+                x_att = jnp.matmul(x, att_weight,
+                                   preferred_element_type=jnp.float32)
+                x_att_p = jnp.pad(x_att, ((0, 0), (0, d_pad - d_in)))
+                scores = sddmm_dw(adj.m, adj.tp, x_att_p, x_att_p)
+                import dataclasses
+
+                eff = dataclasses.replace(
+                    adj.m, tiles=adj.m.tiles * scores
+                )
+                adj_att: Adjacency = BCSRAdj(eff, None, adj.tp)
+                y = bcsr_matvec_dw(eff, adj.tp, x_p)[:, :d_in]
+            elif adj.tp is not None:
+                y = bcsr_matvec_dw(adj.m, adj.tp, x_p)[:, :d_in]
+                adj_att = adj
+            else:
+                y = bcsr_matvec(adj.m, adj.m_t, x_p)[:, :d_in]
+                adj_att = adj
         elif isinstance(adj, SparseAdj):
             if self.att:
                 x_att = jnp.matmul(x, att_weight, preferred_element_type=jnp.float32)

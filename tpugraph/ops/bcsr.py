@@ -225,6 +225,114 @@ def bcsr_pad_rows(m: BCSR, k_pack: int) -> BCSR:
     )
 
 
+@dataclasses.dataclass
+class BCSRTranspose:
+    """Structure-only transpose plan for a BCSR matrix.
+
+    Lets the backward pass of a *differentiable-weights* SpMM build the
+    tiles of ``A^T`` on device as a cheap permute+transpose of the primal
+    tiles — no host round trip, no second tile buffer kept resident:
+
+        tiles_T[i] = tiles[perm[i]]^T * keep[i]
+
+    ``keep`` zeroes entries that were injected to cover otherwise-empty
+    row blocks of the transpose (the tile-walking kernel never writes an
+    output block no tile visits).  Like :class:`BCSR`, arrays are pytree
+    data and ``num_nodes``/``block`` are static.
+    """
+
+    col_blk: jax.Array  # int32[T']
+    row_ptr: jax.Array  # int32[R+1]
+    row_of: jax.Array   # int32[T']
+    perm: jax.Array     # int32[T'] — source tile in the primal BCSR
+    keep: jax.Array     # float32[T'] — 1 real, 0 injected dead tile
+    num_nodes: int      # static
+    block: int          # static
+
+    @property
+    def num_tiles(self) -> int:
+        return self.perm.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    BCSRTranspose,
+    data_fields=["col_blk", "row_ptr", "row_of", "perm", "keep"],
+    meta_fields=["num_nodes", "block"],
+)
+
+
+def transpose_tiles(tiles: jax.Array, tp: BCSRTranspose) -> jax.Array:
+    """Materialize the tiles of ``A^T`` from the primal tiles (device op)."""
+    return jnp.transpose(tiles[tp.perm], (0, 2, 1)) * tp.keep[:, None, None]
+
+
+def bcsr_transpose_plan(m: BCSR) -> BCSRTranspose:
+    """Host-side construction of the :class:`BCSRTranspose` plan.
+
+    A tile of ``A`` at block coordinates (rb, cb) becomes a tile of
+    ``A^T`` at (cb, rb); tiles are regrouped so each transpose row block's
+    tiles are consecutive (the accumulation kernel's contract).  Row
+    blocks of the transpose that no real tile covers get one injected
+    dead tile (perm 0, keep 0) so their output is written as zero.
+    """
+    row = np.asarray(m.row_of)
+    col = np.asarray(m.col_blk)
+    tiles = np.asarray(m.tiles)
+    n_blocks = m.num_row_blocks
+
+    real = np.flatnonzero(np.any(tiles != 0, axis=(1, 2)))
+    # transpose coordinates of real tiles; group by transpose row block
+    t_row, t_col = col[real], row[real]
+    order = np.lexsort((t_col, t_row))
+    t_row, t_col, perm = t_row[order], t_col[order], real[order]
+    keep = np.ones(len(perm), dtype=np.float32)
+
+    covered = np.zeros(n_blocks, dtype=bool)
+    covered[t_row] = True
+    missing = np.flatnonzero(~covered)
+    if missing.size:
+        # appended groups are each contiguous in their own row block
+        t_row = np.concatenate([t_row, missing.astype(t_row.dtype)])
+        t_col = np.concatenate([t_col, np.zeros(missing.size, t_col.dtype)])
+        perm = np.concatenate([perm, np.zeros(missing.size, perm.dtype)])
+        keep = np.concatenate([keep, np.zeros(missing.size, np.float32)])
+
+    counts = np.bincount(t_row, minlength=n_blocks)
+    row_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
+    row_ptr[1:] = np.cumsum(counts)
+    return BCSRTranspose(
+        col_blk=jnp.asarray(t_col.astype(np.int32)),
+        row_ptr=jnp.asarray(row_ptr),
+        row_of=jnp.asarray(t_row.astype(np.int32)),
+        perm=jnp.asarray(perm.astype(np.int32)),
+        keep=jnp.asarray(keep),
+        num_nodes=m.num_nodes,
+        block=m.block,
+    )
+
+
+def bcsr_sym_partner(m: BCSR) -> np.ndarray:
+    """For each tile at block (rb, cb), the index of the tile at (cb, rb).
+
+    Used to symmetrize tile-space mask logits, ``(L + L_partner^T) / 2`` —
+    the block-sparse analog of the reference's dense ``(M + M^T) / 2``
+    (``explainer/explain.py:665-678``).  Undirected adjacencies have a
+    symmetric tile pattern so a partner always exists for real tiles;
+    tiles without one (injected padding) partner with themselves, which
+    is harmless because their base weights are zero.
+    """
+    row = np.asarray(m.row_of)
+    col = np.asarray(m.col_blk)
+    at = {}
+    for t in range(len(row)):
+        at.setdefault((int(row[t]), int(col[t])), t)
+    partner = np.array(
+        [at.get((int(col[t]), int(row[t])), t) for t in range(len(row))],
+        dtype=np.int32,
+    )
+    return partner
+
+
 def bcsr_to_dense(m: BCSR) -> np.ndarray:
     """Densify (testing only)."""
     n = m.num_nodes

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpugraph.ops.bcsr import BCSR
+from tpugraph.ops.bcsr import BCSR, BCSRTranspose, transpose_tiles
 
 LANES = 128
 
@@ -281,3 +281,115 @@ def make_bcsr_matvec(
         return bcsr_matvec(m, m_t, x, interpret=interpret)
 
     return matvec
+
+
+# --------------------------------------------------------------------------
+# Differentiable-weights path: gradients flow into the TILES as well as x.
+# This is what lets the GNNExplainer mask optimization (masked adjacency =
+# tiles * sigmoid(mask), reference explain.py:665-715) and GAT attention run
+# on the Pallas fast path instead of the 64x-slower COO segment_sum path.
+# --------------------------------------------------------------------------
+
+
+def bcsr_matvec_dw(
+    m: BCSR, tp: BCSRTranspose, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """``y = A @ x`` differentiable w.r.t. BOTH ``m.tiles`` and ``x``.
+
+    Backward pass (all on-device Pallas kernels):
+      * ``dx = A^T @ g`` — SpMM over tiles transposed on the fly via the
+        :class:`BCSRTranspose` plan (permute + per-tile transpose).
+      * ``dtiles = (g @ x^T) * support`` — SDDMM restricted to the tile
+        support, the block-sparse analog of the reference's dense mask
+        gradient (``explain.py:740-820``).
+
+    ``support`` is the nonzero pattern of the *current* tiles; entries at
+    exactly 0 get zero gradient — harmless for multiplicative gates
+    (``W = base * gate``: the chain rule kills those entries anyway).
+    Pass ``m``/``tp`` as jit ARGUMENTS (see :func:`bcsr_matvec`).
+    """
+    return _bcsr_matvec_dw(m, tp, x, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bcsr_matvec_dw(m, tp, x, interpret):
+    return spmm_bcsr(m, x, interpret=interpret)
+
+
+def _dw_fwd(m, tp, x, interpret):
+    return spmm_bcsr(m, x, interpret=interpret), (m, tp, x)
+
+
+def _replace_tiles_cotangent(m: BCSR, dtiles: jax.Array):
+    dm = _zero_cotangent(m)
+    import dataclasses
+
+    return dataclasses.replace(dm, tiles=dtiles)
+
+
+def _dw_bwd(interpret, res, g):
+    m, tp, x = res
+    m_t = BCSR(
+        tiles=transpose_tiles(m.tiles, tp),
+        col_blk=tp.col_blk,
+        row_ptr=tp.row_ptr,
+        row_of=tp.row_of,
+        num_nodes=tp.num_nodes,
+        block=tp.block,
+    )
+    dx = spmm_bcsr(m_t, g, interpret=interpret)
+    dtiles = sddmm_bcsr(m, g, x, interpret=interpret)
+    return (_replace_tiles_cotangent(m, dtiles), _zero_cotangent(tp), dx)
+
+
+_bcsr_matvec_dw.defvjp(_dw_fwd, _dw_bwd)
+
+
+def sddmm_dw(
+    m: BCSR,
+    tp: BCSRTranspose,
+    a: jax.Array,
+    b: jax.Array,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Differentiable SDDMM: per-tile ``scores = (a_row @ b_col^T) * support``.
+
+    The GAT attention scores on the block-sparse path
+    (reference ``models.py:62-68`` computes the same product densely).
+    Backward: ``da = S_g @ b`` and ``db = S_g^T @ a`` where ``S_g`` is the
+    support-masked score cotangent — both are SpMMs with the cotangent
+    tiles as values, so the whole GAT layer stays on the MXU.
+    """
+    return _sddmm_dw(m, tp, a, b, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sddmm_dw(m, tp, a, b, interpret):
+    return sddmm_bcsr(m, a, b, interpret=interpret)
+
+
+def _sddmm_dw_fwd(m, tp, a, b, interpret):
+    return sddmm_bcsr(m, a, b, interpret=interpret), (m, tp, a, b)
+
+
+def _sddmm_dw_bwd(interpret, res, g_scores):
+    m, tp, a, b = res
+    gs = g_scores * (m.tiles != 0)
+    import dataclasses
+
+    m_gs = dataclasses.replace(m, tiles=gs)
+    da = spmm_bcsr(m_gs, b, interpret=interpret)
+    m_gs_t = BCSR(
+        tiles=transpose_tiles(gs, tp),
+        col_blk=tp.col_blk,
+        row_ptr=tp.row_ptr,
+        row_of=tp.row_of,
+        num_nodes=tp.num_nodes,
+        block=tp.block,
+    )
+    db = spmm_bcsr(m_gs_t, a, interpret=interpret)
+    # scores depend on m.tiles only through the support pattern (not values)
+    return (_zero_cotangent(m), _zero_cotangent(tp), da, db)
+
+
+_sddmm_dw.defvjp(_sddmm_dw_fwd, _sddmm_dw_bwd)
