@@ -36,6 +36,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# TPU v5e (v5 lite) per-chip ceilings for the MFU / roofline accounting.
+V5E_BF16_PEAK_FLOPS = 197e12   # MXU bf16
+V5E_HBM_BYTES_PER_S = 819e9
+
+
 def make_banded_graph(n: int, deg: int, bandwidth: int, seed: int = 0):
     """Symmetric random graph whose edges stay within a node-id band —
     the post-ordering locality of motif graphs."""
@@ -48,6 +53,29 @@ def make_banded_graph(n: int, deg: int, bandwidth: int, seed: int = 0):
     r = np.concatenate([dst, src]).astype(np.int32)
     w = np.ones(s.shape[0], dtype=np.float32)
     return s, r, w
+
+
+def make_powerlaw_graph(n: int, avg_deg: int, seed: int = 0,
+                        gamma: float = 2.5):
+    """Chung-Lu scale-free graph: endpoints sampled proportional to a
+    power-law weight sequence.  No node-id locality whatsoever — the
+    adversarial case for tile packing (real syn1/Enron/PPI topology class,
+    unlike the banded synthetic)."""
+    rng = np.random.default_rng(seed)
+    w = (np.arange(n) + 10.0) ** (-1.0 / (gamma - 1.0))
+    p = w / w.sum()
+    target = n * avg_deg // 2
+    src = rng.choice(n, size=int(target * 1.3), p=p)
+    dst = rng.choice(n, size=int(target * 1.3), p=p)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    uniq = np.unique(lo.astype(np.int64) * n + hi)[:target]
+    lo, hi = (uniq // n).astype(np.int32), (uniq % n).astype(np.int32)
+    s = np.concatenate([lo, hi])
+    r = np.concatenate([hi, lo])
+    return s, r, np.ones(s.shape[0], dtype=np.float32)
 
 
 def time_fn(fn, *args, iters=20, warmup=2, tag=""):
@@ -200,6 +228,69 @@ def main() -> None:
     coo_eps = 2 * num_edges / t_coo
     log(f"pallas: {pallas_eps:.3e} edges/s ; coo: {coo_eps:.3e} edges/s")
 
+    def roofline(m, t_iter, n_edges, tag):
+        """MFU + roofline accounting for one fwd+bwd chained iteration
+        (2 SpMMs).  dense = all tile FLOPs; edge = FLOPs on real edges."""
+        tile_b = jnp.dtype(m.tiles.dtype).itemsize
+        dense_flops = 2 * (2 * m.num_tiles * m.block * m.block * d)
+        edge_flops = 2 * (2 * n_edges * d)
+        bytes_per = 2 * (
+            m.num_tiles * m.block * m.block * tile_b   # tiles
+            + m.num_tiles * m.block * d * 4            # gathered x blocks
+            + m.num_nodes * d * 4                      # output
+        )
+        stats = {
+            "density": n_edges / (m.num_tiles * m.block * m.block),
+            "dense_tflops": dense_flops / t_iter / 1e12,
+            "mfu_dense": dense_flops / t_iter / V5E_BF16_PEAK_FLOPS,
+            "edge_frac_of_peak": edge_flops / t_iter / V5E_BF16_PEAK_FLOPS,
+            "hbm_util": bytes_per / t_iter / V5E_HBM_BYTES_PER_S,
+        }
+        log(f"[{tag}] density {stats['density']:.3f}; "
+            f"dense {stats['dense_tflops']:.1f} TFLOP/s "
+            f"(MFU {stats['mfu_dense']:.1%}); "
+            f"real-edge FLOPs {stats['edge_frac_of_peak']:.2%} of peak; "
+            f"HBM {stats['hbm_util']:.1%}")
+        return stats
+
+    banded_stats = roofline(m, t_pallas, num_edges, "banded")
+
+    # ---- real (scale-free) topology: RCM-packed, no artificial locality
+    if on_tpu:
+        n_r, deg_r = 65536, 32
+    else:
+        n_r, deg_r = 1024, 8
+    from tpugraph.ops.bcsr import rcm_reorder
+
+    s2, r2, w2 = make_powerlaw_graph(n_r, deg_r)
+    perm, inv = rcm_reorder(s2, r2, n_r)
+    s2o, r2o = inv[s2].astype(np.int32), inv[r2].astype(np.int32)
+    m_raw_tiles = None
+    try:
+        m_raw = bcsr_from_coo(s2, r2, w2, n_r, block=block)
+        m_raw_tiles = m_raw.num_tiles
+        del m_raw
+    except Exception:
+        pass  # unordered packing can exceed sane tile budgets; that's the point
+    m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block)
+    m2_t = bcsr_transpose_host(s2o, r2o, w2, n_r, block=block)
+    if tile_dtype != "float32":
+        dt = jnp.dtype(tile_dtype)
+        m2 = dataclasses.replace(m2, tiles=m2.tiles.astype(dt))
+        m2_t = dataclasses.replace(m2_t, tiles=m2_t.tiles.astype(dt))
+    n_edges2 = len(s2)
+    log(f"powerlaw: {n_edges2} edges; tiles raw={m_raw_tiles} "
+        f"rcm={m2.num_tiles} (block {block})")
+    x2 = jnp.asarray(
+        np.random.default_rng(2)
+        .standard_normal((m2.num_nodes, d))
+        .astype(np.float32)
+    )
+    t_real, _ = run("pallas-powerlaw-rcm", chained_pallas, (m2, m2_t, x2))
+    real_eps = 2 * n_edges2 / t_real
+    real_stats = roofline(m2, t_real, n_edges2, "powerlaw-rcm")
+    log(f"pallas real-topology: {real_eps:.3e} edges/s")
+
     print(
         json.dumps(
             {
@@ -207,6 +298,15 @@ def main() -> None:
                 "value": pallas_eps,
                 "unit": "edges/s",
                 "vs_baseline": pallas_eps / coo_eps,
+                "mfu_dense": round(banded_stats["mfu_dense"], 4),
+                "edge_frac_of_peak": round(
+                    banded_stats["edge_frac_of_peak"], 4
+                ),
+                "hbm_util": round(banded_stats["hbm_util"], 4),
+                "tile_density": round(banded_stats["density"], 4),
+                "powerlaw_rcm_edges_per_s": real_eps,
+                "powerlaw_tile_density": round(real_stats["density"], 4),
+                "powerlaw_tiles_raw_vs_rcm": [m_raw_tiles, m2.num_tiles],
             }
         )
     )

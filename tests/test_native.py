@@ -89,3 +89,66 @@ def test_sym_normalize_matches_numpy(rng):
     inv = np.where(deg > 0, 1 / np.sqrt(deg), 0)
     expected = (w * inv[r] * inv[s]).astype(np.float32)
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_rcm_order_reduces_bandwidth(rng):
+    # shuffle a banded graph; RCM must recover (near-)banded structure
+    n = 400
+    src = np.arange(n, dtype=np.int64)
+    off = rng.integers(1, 12, size=n)
+    dst = (src + off) % n
+    shuf = rng.permutation(n).astype(np.int32)
+    s = shuf[np.concatenate([src, dst])].astype(np.int32)
+    r = shuf[np.concatenate([dst, src])].astype(np.int32)
+    indptr, indices, _ = native.coo_to_csr(r, s, n)
+    perm = native.rcm_order(indptr, indices)
+    # valid permutation
+    assert sorted(perm.tolist()) == list(range(n))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    bw_before = int(np.abs(s.astype(np.int64) - r).max())
+    bw_after = int(np.abs(inv[s] - inv[r]).max())
+    assert bw_after < bw_before / 4, (bw_before, bw_after)
+
+
+def test_rcm_order_matches_numpy_fallback(rng):
+    s, r, w, n = coo(rng, n=120)
+    indptr, indices, _ = native.coo_to_csr(r, s, n)
+    got = native.rcm_order(indptr, indices)
+    # run the pure-python fallback by bypassing the lib
+    import tpugraph.native as nat
+    lib = nat._lib
+    nat._lib = False
+    try:
+        ref = native.rcm_order(indptr, indices)
+    finally:
+        nat._lib = lib
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_halo_plan_native_matches_python(rng):
+    import jax.numpy as jnp
+
+    from tpugraph.core.graph import graph_from_dense
+    from tpugraph.parallel import spmd
+
+    a = (rng.random((96, 96)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan_native = spmd.build_halo_plan(g, 8)
+
+    # force the python fallback path
+    import tpugraph.native as nat
+    lib = nat._lib
+    nat._lib = False
+    try:
+        plan_py = spmd.build_halo_plan(g, 8)
+    finally:
+        nat._lib = lib
+    assert plan_native.shard_size == plan_py.shard_size
+    assert plan_native.halo_size == plan_py.halo_size
+    for fld in ("send_idx", "sender_slot", "receivers_local", "weights"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plan_native, fld)),
+            np.asarray(getattr(plan_py, fld)), err_msg=fld)

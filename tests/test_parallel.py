@@ -161,3 +161,107 @@ def test_halo_exchange_locality(rng, mesh8):
     np.testing.assert_allclose(y[: g.num_nodes_padded], y_ref, atol=1e-4)
     # per-peer halo is tiny vs the 32-node shard
     assert plan.halo_size <= 8
+
+
+def test_halo_node_training_matches_single_device(rng, mesh8):
+    """Multi-layer GcnEncoderNode trains node-partitioned with per-layer
+    boundary-only halo exchange; loss trajectory matches single-device
+    (VERDICT r1 item 4 done criterion)."""
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.nn.losses import node_cross_entropy
+    from tpugraph.parallel.spmd import (
+        build_halo_plan,
+        make_halo_node_forward,
+        make_halo_node_train_step,
+    )
+
+    n = 96
+    a = (rng.random((n, n)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    n_total = plan.shard_size * 8
+    assert n_total == g.num_nodes_padded == n
+
+    d, c = 6, 3
+    x = jnp.asarray(rng.standard_normal((n_total, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n_total).astype(np.int32))
+    mask = jnp.asarray((np.arange(n_total) < n).astype(np.float32))
+
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=c, num_layers=3)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params0 = model.init(jax.random.PRNGKey(0), x, sp)
+    tx = optax.adam(1e-2)
+
+    @jax.jit
+    def ref_step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, sp)
+            return node_cross_entropy(logits, y, node_mask=mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state = params0, tx.init(params0)
+    ref_losses = []
+    for _ in range(6):
+        params, opt_state, loss = ref_step(params, opt_state)
+        ref_losses.append(float(loss))
+
+    step = make_halo_node_train_step(model, tx, mesh8)
+    params_h, opt_h = params0, tx.init(params0)
+    halo_losses = []
+    for _ in range(6):
+        params_h, opt_h, loss = step(params_h, opt_h, plan, x, y, mask)
+        halo_losses.append(float(loss))
+
+    np.testing.assert_allclose(halo_losses, ref_losses, rtol=2e-4, atol=2e-5)
+
+    # node-sharded forward parity after training
+    fwd = make_halo_node_forward(model, mesh8)
+    logits_h = np.asarray(fwd(params_h, plan, x))
+    logits_ref, _ = model.apply(params, x, sp)
+    np.testing.assert_allclose(logits_h, np.asarray(logits_ref), atol=5e-4)
+
+
+def test_halo_gat_matches_sparse(rng, mesh8):
+    """GAT attention on the halo path == the SparseAdj path."""
+    from tpugraph.nn.layers import GraphConv, SparseAdj
+    from tpugraph.parallel.spmd import build_halo_plan
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    assert plan.shard_size * 8 == g.num_nodes_padded
+    d = 6
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    layer = GraphConv(input_dim=d, output_dim=5, att=True)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = layer.init(jax.random.PRNGKey(0), x, sp)
+    y_ref, _ = layer.apply(params, x, sp)
+
+    from tpugraph.parallel.spmd import _halo_adj_from_slices
+
+    def local(p, si, slot, rl, w, xl):
+        adj = _halo_adj_from_slices(si, slot, rl, w, "data")
+        y, _ = layer.apply(p, xl, adj)
+        return y
+
+    f = shard_map(
+        local, mesh=mesh8,
+        in_specs=(P(),) + (P("data"),) * 5,
+        out_specs=P("data"), check_vma=False,
+    )
+    y_halo = f(params, plan.send_idx, plan.sender_slot,
+               plan.receivers_local, plan.weights, x)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref),
+                               atol=1e-4)

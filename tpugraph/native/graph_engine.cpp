@@ -15,6 +15,7 @@
 #include <cstring>
 #include <algorithm>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -134,6 +135,127 @@ void khop_bfs_batch(const int32_t* indptr, const int32_t* indices, int32_t n,
                     uint8_t* out_masks) {
     for (int32_t i = 0; i < q; ++i)
         khop_bfs(indptr, indices, n, srcs[i], k, out_masks + (int64_t)i * n);
+}
+
+// ------------------------------------------------------------- halo planning
+//
+// Node-partitioned SPMD: nodes split into n_dev contiguous shards of size
+// ns; device d owns the edges targeting its shard.  The plan records, per
+// (sender, receiver-device) pair, which boundary nodes must be exchanged,
+// and for each edge where its sender feature lands in the concatenated
+// [local | halo] buffer.  (Replaces the O(E) Python loops of
+// parallel/spmd.py:build_halo_plan — minutes at PPI scale, milliseconds
+// here.)
+
+// Pass 1: raw (unpadded) sizes — max per-device edge count and max
+// per-(device, peer) boundary set size.
+void halo_plan_sizes(const int32_t* s, const int32_t* r, const float* w,
+                     int64_t e, int32_t ns, int32_t n_dev,
+                     int64_t* e_max_out, int64_t* h_max_out) {
+    std::vector<int64_t> ecnt(n_dev, 0);
+    std::vector<std::unordered_set<int32_t>> needed((size_t)n_dev * n_dev);
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        int32_t d = r[i] / ns;
+        ecnt[d]++;
+        int32_t o = s[i] / ns;
+        if (o != d) needed[(size_t)d * n_dev + o].insert(s[i]);
+    }
+    int64_t em = 0, hm = 0;
+    for (int64_t c : ecnt) em = std::max(em, c);
+    for (auto& st : needed) hm = std::max(hm, (int64_t)st.size());
+    *e_max_out = em;
+    *h_max_out = hm;
+}
+
+// Pass 2: fill plan arrays (caller zero-initializes; e_max/h are the
+// caller-padded sizes).  send_idx [n_dev, n_dev, h]: row o = boundary
+// node LOCAL indices device o sends each peer.  sender_slot /
+// receivers_local / weights [n_dev, e_max]: per-edge aggregation inputs.
+void halo_plan_fill(const int32_t* s, const int32_t* r, const float* w,
+                    int64_t e, int32_t ns, int32_t n_dev,
+                    int64_t e_max, int64_t h,
+                    int32_t* send_idx, int32_t* sender_slot,
+                    int32_t* receivers_local, float* weights) {
+    std::vector<std::unordered_set<int32_t>> needed((size_t)n_dev * n_dev);
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        int32_t d = r[i] / ns, o = s[i] / ns;
+        if (o != d) needed[(size_t)d * n_dev + o].insert(s[i]);
+    }
+    // recv[d]: global node id -> slot in d's received-halo buffer
+    std::vector<std::unordered_map<int32_t, int32_t>> recv((size_t)n_dev);
+    std::vector<int32_t> lst;
+    for (int32_t d = 0; d < n_dev; ++d) {
+        for (int32_t o = 0; o < n_dev; ++o) {
+            auto& st = needed[(size_t)d * n_dev + o];
+            lst.assign(st.begin(), st.end());
+            std::sort(lst.begin(), lst.end());
+            for (size_t j = 0; j < lst.size(); ++j) {
+                send_idx[((size_t)o * n_dev + d) * h + j] = lst[j] - o * ns;
+                recv[d][lst[j]] = (int32_t)(o * h + j);
+            }
+        }
+    }
+    std::vector<int64_t> cursor(n_dev, 0);
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        int32_t d = r[i] / ns;
+        int64_t k = cursor[d]++;
+        int32_t snd = s[i];
+        sender_slot[(size_t)d * e_max + k] =
+            (snd / ns == d) ? snd - d * ns : (int32_t)(ns + recv[d][snd]);
+        receivers_local[(size_t)d * e_max + k] = r[i] - d * ns;
+        weights[(size_t)d * e_max + k] = w[i];
+    }
+}
+
+// --------------------------------------------------- RCM bandwidth reduction
+
+// Reverse Cuthill-McKee ordering over the CSR structure.
+// perm_out[new_id] = old_id.  Components are seeded at their minimum-degree
+// node; within each BFS level neighbors are visited in ascending degree.
+// Relabeling nodes by this order clusters edges near the diagonal, which
+// is what makes real (non-banded) graphs pack into dense BCSR tiles for
+// the Pallas SpMM — the bandwidth of the reordered matrix bounds how many
+// column blocks any row block touches.
+void rcm_order(const int32_t* indptr, const int32_t* indices, int32_t n,
+               int32_t* perm_out) {
+    std::vector<int32_t> deg(n);
+    for (int32_t i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
+    std::vector<int32_t> seeds(n);
+    for (int32_t i = 0; i < n; ++i) seeds[i] = i;
+    std::sort(seeds.begin(), seeds.end(), [&](int32_t a, int32_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+    });
+
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int32_t> order;
+    order.reserve(n);
+    std::vector<int32_t> nbr;
+    for (int32_t s : seeds) {
+        if (visited[s]) continue;
+        size_t head = order.size();
+        order.push_back(s);
+        visited[s] = 1;
+        while (head < order.size()) {
+            int32_t u = order[head++];
+            nbr.clear();
+            for (int32_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+                int32_t v = indices[p];
+                if (!visited[v]) {
+                    visited[v] = 1;
+                    nbr.push_back(v);
+                }
+            }
+            std::sort(nbr.begin(), nbr.end(), [&](int32_t a, int32_t b) {
+                return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+            });
+            order.insert(order.end(), nbr.begin(), nbr.end());
+        }
+    }
+    std::reverse(order.begin(), order.end());
+    std::memcpy(perm_out, order.data(), sizeof(int32_t) * n);
 }
 
 // ------------------------------------------------------- degree + normalize

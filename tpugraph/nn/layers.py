@@ -60,7 +60,39 @@ class BCSRAdj(NamedTuple):
     tp: "object" = None   # BCSRTranspose plan (differentiable-weights path)
 
 
-Adjacency = Union[jax.Array, SparseAdj, BCSRAdj]
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class HaloAdj:
+    """Per-device view of a node-partitioned adjacency with boundary-only
+    halo exchange — the multi-chip scaling path for graphs too large to
+    replicate (SURVEY §2.2 "long-context analog").
+
+    Used INSIDE ``shard_map``: each device owns a contiguous node shard
+    (features ``x [Ns, D]`` stay sharded across ALL layers) and the edges
+    that target its nodes.  The layer sends exactly the boundary features
+    peers need (``all_to_all`` over ICI, volume O(boundary) not O(N)),
+    then aggregates its local edges from ``[local | halo]``.  Build the
+    plan host-side with ``tpugraph.parallel.spmd.build_halo_plan`` and
+    slice per device (``HaloPlan`` arrays sharded over their first axis).
+    """
+
+    send_idx: jax.Array         # int32[n_dev, H] — my nodes each peer needs
+    sender_slot: jax.Array      # int32[E_max] — per-edge index into [local|halo]
+    receivers_local: jax.Array  # int32[E_max] — local receiver of each edge
+    weight: jax.Array           # float32[E_max] — 0 on padding edges
+    axis: str = "data"          # mesh axis name (static)
+
+
+jax.tree_util.register_dataclass(
+    HaloAdj,
+    data_fields=["send_idx", "sender_slot", "receivers_local", "weight"],
+    meta_fields=["axis"],
+)
+
+
+Adjacency = Union[jax.Array, SparseAdj, BCSRAdj, HaloAdj]
 
 
 class GraphConv(nn.Module):
@@ -142,6 +174,31 @@ class GraphConv(nn.Module):
             else:
                 y = bcsr_matvec(adj.m, adj.m_t, x_p)[:, :d_in]
                 adj_att = adj
+        elif isinstance(adj, HaloAdj):
+            # Boundary-only halo exchange, then local aggregation — one
+            # all_to_all over ICI per layer; features stay node-sharded.
+            send_buf = x[adj.send_idx]  # [n_dev, H, D]
+            halo = jax.lax.all_to_all(
+                send_buf, adj.axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            xx = jnp.concatenate([x, halo.reshape(-1, x.shape[-1])], axis=0)
+            if self.att:
+                # receiver indices point into the local prefix of xx
+                xx_att = jnp.matmul(xx, att_weight,
+                                    preferred_element_type=jnp.float32)
+                scores = jnp.sum(
+                    xx_att[adj.sender_slot] * xx_att[adj.receivers_local],
+                    axis=-1,
+                )
+                eff_weight = adj.weight * scores
+                adj_att = _dataclasses.replace(adj, weight=eff_weight)
+            else:
+                eff_weight = adj.weight
+                adj_att = adj
+            msgs = xx[adj.sender_slot] * eff_weight[:, None]
+            y = jax.ops.segment_sum(
+                msgs, adj.receivers_local, num_segments=x.shape[0]
+            )
         elif isinstance(adj, SparseAdj):
             if self.att:
                 x_att = jnp.matmul(x, att_weight, preferred_element_type=jnp.float32)

@@ -156,6 +156,31 @@ def bcsr_from_coo(
     return _ensure_no_empty_rows(out, counts)
 
 
+def rcm_reorder(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Bandwidth-reducing node relabeling for tile packing.
+
+    Returns ``(perm, inv)`` with ``perm[new_id] = old_id``.  Relabel edges
+    as ``(inv[senders], inv[receivers])`` and node payloads as
+    ``feat[perm]`` before :func:`bcsr_from_coo`; the reduced matrix
+    bandwidth bounds how many column blocks each row block touches, so
+    real graphs (BA motifs, Enron, PPI) pack dense tiles instead of
+    scattering one edge per tile.  Native C++ RCM with NumPy fallback.
+    """
+    from tpugraph import native
+
+    indptr, indices, _ = native.coo_to_csr(
+        np.asarray(receivers, dtype=np.int32),
+        np.asarray(senders, dtype=np.int32),
+        num_nodes,
+    )
+    perm = native.rcm_order(indptr, indices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+    return perm, inv
+
+
 def bcsr_transpose_host(
     senders: np.ndarray,
     receivers: np.ndarray,

@@ -183,12 +183,31 @@ class HaloPlan(NamedTuple):
 def build_halo_plan(g: Graph, n_dev: int) -> HaloPlan:
     """Precompute the boundary exchange: which of my nodes each peer
     needs, and how each of my edges finds its sender (locally or in the
-    received halo buffer).  One-time host cost, O(E)."""
+    received halo buffer).  One-time host cost, O(E) — native C++
+    (``graph_engine.cpp:halo_plan_*``) with a Python fallback."""
     n_pad = ((g.num_nodes_padded + n_dev - 1) // n_dev) * n_dev
     ns = n_pad // n_dev
     s = np.asarray(g.senders)
     r = np.asarray(g.receivers)
     w = np.asarray(g.edge_weight)
+
+    try:
+        from tpugraph import native
+
+        out = native.halo_plan(s, r, w, ns, n_dev)
+    except Exception:
+        out = None
+    if out is not None:
+        send_idx, sender_slot, receivers_local, weights, e_max, h = out
+        return HaloPlan(
+            send_idx=jnp.asarray(send_idx),
+            sender_slot=jnp.asarray(sender_slot),
+            receivers_local=jnp.asarray(receivers_local),
+            weights=jnp.asarray(weights),
+            shard_size=ns,
+            halo_size=h,
+        )
+
     live = w != 0
 
     # edges grouped by receiver shard
@@ -281,6 +300,99 @@ def apply_halo_spmm(mesh: Mesh, plan: HaloPlan, x: jax.Array,
     f = sharded_spmm_halo(mesh, axis)
     return f(plan.send_idx, plan.sender_slot, plan.receivers_local,
              plan.weights, x)
+
+
+def _halo_adj_from_slices(send_idx, sender_slot, r_loc, w, axis: str):
+    """Build the per-device :class:`HaloAdj` from shard_map-sliced plan
+    arrays (each carries a leading length-1 device axis)."""
+    from tpugraph.nn.layers import HaloAdj
+
+    return HaloAdj(send_idx[0], sender_slot[0], r_loc[0], w[0], axis)
+
+
+def make_halo_node_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "data",
+    class_weight: Optional[jax.Array] = None,
+):
+    """Node-partitioned full-batch training with per-layer boundary-only
+    halo exchange — the multi-chip path for graphs too large to replicate
+    (VERDICT r1 item 4; SURVEY §2.2 "long-context analog", finished).
+
+    Features, labels, and masks stay node-sharded over ``axis`` for ALL
+    ``num_layers`` GraphConv layers; each layer's :class:`HaloAdj` branch
+    does one ``all_to_all`` of boundary features over ICI.  Gradients for
+    the replicated parameters are combined with an explicit ``psum``
+    (pmap-style shard_map step).
+
+    Returns ``step(params, opt_state, plan, x, y, train_mask) ->
+    (params, opt_state, loss)`` where ``x [n_dev*Ns, D]``, ``y``/``mask``
+    ``[n_dev*Ns]`` are node-sharded and ``plan`` is a :class:`HaloPlan`.
+    """
+
+    def local_step(params, opt_state, send_idx, sender_slot, r_loc, w,
+                   x, y, m):
+        adj = _halo_adj_from_slices(send_idx, sender_slot, r_loc, w, axis)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, adj)
+            # weighted CE with GLOBAL normalization: local sums + psum
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+            wts = class_weight[y] if class_weight is not None else jnp.ones_like(nll)
+            wts = wts * m
+            num = jax.lax.psum(jnp.sum(nll * wts), axis)
+            den = jax.lax.psum(jnp.sum(wts), axis)
+            return num / jnp.maximum(den, 1e-12)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P(axis),) * 7,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, plan: HaloPlan, x, y, train_mask):
+        return sharded(
+            params, opt_state, plan.send_idx, plan.sender_slot,
+            plan.receivers_local, plan.weights, x, y, train_mask,
+        )
+
+    return jax.jit(step)
+
+
+def make_halo_node_forward(model, mesh: Mesh, axis: str = "data"):
+    """Node-sharded forward returning FULL logits ``[n_dev*Ns, C]``
+    (node-sharded output spec; evaluation/prediction companion to
+    :func:`make_halo_node_train_step`)."""
+
+    def local_fwd(params, send_idx, sender_slot, r_loc, w, x):
+        adj = _halo_adj_from_slices(send_idx, sender_slot, r_loc, w, axis)
+        logits, _ = model.apply(params, x, adj)
+        return logits
+
+    sharded = shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 5,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def fwd(params, plan: HaloPlan, x):
+        return sharded(params, plan.send_idx, plan.sender_slot,
+                       plan.receivers_local, plan.weights, x)
+
+    return jax.jit(fwd)
 
 
 def make_sharded_node_train_step(
