@@ -255,7 +255,12 @@ def main() -> None:
 
     banded_stats = roofline(m, t_pallas, num_edges, "banded")
 
-    # ---- real (scale-free) topology: RCM-packed, no artificial locality
+    # ---- real (scale-free) topology: NO artificial locality.  Packing
+    # quality is ordering-dependent: RCM wins on bandwidth-structured
+    # graphs (motifs, communities — see tests/test_native.py), while
+    # scale-free hubs favor degree clustering.  Pick the best by tile
+    # count (a host-side O(E) measurement), then bench the kernel against
+    # the COO path on the SAME graph — the honest real-graph comparison.
     if on_tpu:
         n_r, deg_r = 65536, 32
     else:
@@ -263,33 +268,56 @@ def main() -> None:
     from tpugraph.ops.bcsr import rcm_reorder
 
     s2, r2, w2 = make_powerlaw_graph(n_r, deg_r)
-    perm, inv = rcm_reorder(s2, r2, n_r)
-    s2o, r2o = inv[s2].astype(np.int32), inv[r2].astype(np.int32)
-    m_raw_tiles = None
-    try:
-        m_raw = bcsr_from_coo(s2, r2, w2, n_r, block=block)
-        m_raw_tiles = m_raw.num_tiles
-        del m_raw
-    except Exception:
-        pass  # unordered packing can exceed sane tile budgets; that's the point
+    n_edges2 = len(s2)
+    nb = (n_r + block - 1) // block
+
+    def tile_count(ss, rr):
+        keys = (rr.astype(np.int64) // block) * nb + ss // block
+        return len(np.unique(keys))
+
+    deg = np.bincount(r2, minlength=n_r)
+    perm_deg = np.argsort(-deg, kind="stable")
+    inv_deg = np.empty(n_r, np.int64)
+    inv_deg[perm_deg] = np.arange(n_r)
+    _, inv_rcm = rcm_reorder(s2, r2, n_r)
+    orderings = {
+        "raw": (s2, r2),
+        "rcm": (inv_rcm[s2].astype(np.int32), inv_rcm[r2].astype(np.int32)),
+        "degsort": (inv_deg[s2].astype(np.int32),
+                    inv_deg[r2].astype(np.int32)),
+    }
+    counts = {k: tile_count(ss, rr) for k, (ss, rr) in orderings.items()}
+    best = min(counts, key=counts.get)
+    log(f"powerlaw: {n_edges2} edges; tiles by ordering {counts} "
+        f"(block {block}) -> {best}")
+    s2o, r2o = orderings[best]
     m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block)
     m2_t = bcsr_transpose_host(s2o, r2o, w2, n_r, block=block)
     if tile_dtype != "float32":
         dt = jnp.dtype(tile_dtype)
         m2 = dataclasses.replace(m2, tiles=m2.tiles.astype(dt))
         m2_t = dataclasses.replace(m2_t, tiles=m2_t.tiles.astype(dt))
-    n_edges2 = len(s2)
-    log(f"powerlaw: {n_edges2} edges; tiles raw={m_raw_tiles} "
-        f"rcm={m2.num_tiles} (block {block})")
     x2 = jnp.asarray(
         np.random.default_rng(2)
         .standard_normal((m2.num_nodes, d))
         .astype(np.float32)
     )
-    t_real, _ = run("pallas-powerlaw-rcm", chained_pallas, (m2, m2_t, x2))
+    t_real, cks_r = run(f"pallas-powerlaw-{best}", chained_pallas,
+                        (m2, m2_t, x2))
     real_eps = 2 * n_edges2 / t_real
-    real_stats = roofline(m2, t_real, n_edges2, "powerlaw-rcm")
-    log(f"pallas real-topology: {real_eps:.3e} edges/s")
+    real_stats = roofline(m2, t_real, n_edges2, f"powerlaw-{best}")
+    # COO on the same graph — pad x to the BCSR node count for shape parity
+    sd2 = jnp.asarray(s2o)
+    rd2 = jnp.asarray(r2o)
+    wd2 = jnp.asarray(w2)
+    t_real_coo, cks_rc = run("coo-powerlaw", chained_coo,
+                             (sd2, rd2, wd2, x2))
+    rel_r = abs(cks_r - cks_rc) / (abs(cks_rc) + 1e-9)
+    assert rel_r < 5e-2, "powerlaw pallas/coo divergence"
+    real_coo_eps = 2 * n_edges2 / t_real_coo
+    log(f"pallas real-topology: {real_eps:.3e} edges/s; "
+        f"coo: {real_coo_eps:.3e} edges/s "
+        f"({real_eps / real_coo_eps:.1f}x)")
 
     print(
         json.dumps(
@@ -304,9 +332,11 @@ def main() -> None:
                 ),
                 "hbm_util": round(banded_stats["hbm_util"], 4),
                 "tile_density": round(banded_stats["density"], 4),
-                "powerlaw_rcm_edges_per_s": real_eps,
-                "powerlaw_tile_density": round(real_stats["density"], 4),
-                "powerlaw_tiles_raw_vs_rcm": [m_raw_tiles, m2.num_tiles],
+                "powerlaw_edges_per_s": real_eps,
+                "powerlaw_vs_coo": real_eps / real_coo_eps,
+                "powerlaw_tile_density": round(real_stats["density"], 5),
+                "powerlaw_ordering": best,
+                "powerlaw_tiles_by_ordering": counts,
             }
         )
     )

@@ -265,3 +265,52 @@ def test_halo_gat_matches_sparse(rng, mesh8):
                plan.receivers_local, plan.weights, x)
     np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref),
                                atol=1e-4)
+
+
+def test_2d_mesh_dcn_data_spmm(rng):
+    """Edge-partitioned SpMM over a 2-D ("dcn", "data") mesh — the
+    multi-host mesh shape (VERDICT r1 item 5)."""
+    from tpugraph.parallel.mesh import make_mesh
+    from tpugraph.parallel.spmd import sharded_spmm
+
+    mesh = make_mesh(axis_names=("dcn", "data"), shape=(2, 4))
+    assert mesh.shape == {"dcn": 2, "data": 4}
+    n = 48
+    a = (rng.random((n, n)) < 0.15).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a, num_edges_padded=512)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes_padded, 6))
+                    .astype(np.float32))
+    y_ref = spmm(g.senders, g.receivers, g.edge_weight, x)
+    f = sharded_spmm(mesh, axis=("dcn", "data"))
+    y = f(g.senders, g.receivers, g.edge_weight, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+def test_make_mesh_validation():
+    from tpugraph.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="explicit shape"):
+        make_mesh(axis_names=("dcn", "data"))
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(axis_names=("a", "b"), shape=(4, 4))
+
+
+def test_dp_graph_training_matches_single_device(mesh8, tmp_path):
+    """Data-parallel graph classification reproduces the single-device
+    loss trajectory (VERDICT r1 item 6)."""
+    from tests.test_tasks import write_tu_dataset
+    from tpugraph.cli.config import Config
+    from tpugraph.cli.tasks import benchmark_task
+
+    write_tu_dataset(str(tmp_path), "TOY")
+    common = dict(bmname="TOY", datadir=str(tmp_path), num_epochs=8,
+                  batch_size=8, eval_every=8, max_nodes=0, seed=0)
+    cfg1 = Config(**common)
+    cfg1.ckptdir = str(tmp_path / "ckpt1")
+    out1 = benchmark_task(cfg1)
+    cfg8 = Config(**common, dp_devices=8)
+    cfg8.ckptdir = str(tmp_path / "ckpt8")
+    out8 = benchmark_task(cfg8)
+    np.testing.assert_allclose(out8["history"]["loss"],
+                               out1["history"]["loss"], rtol=1e-3, atol=1e-4)

@@ -71,6 +71,8 @@ class Config:
     align_steps: int = 1000
     explainer_suffix: str = ""
     seed_ensemble: int = 1  # >1: average masks over several init seeds
+    marginalize: bool = False    # noise-marginalized feature masking
+    log_mask_every: int = 0      # >0: mask/masked-adj heatmaps every k epochs
 
     # runtime
     resume: bool = False
@@ -80,6 +82,8 @@ class Config:
     num_devices: int = 0            # 0 = all visible
     use_bcsr: bool = False          # Pallas block-sparse aggregation (TPU)
     bcsr_block: int = 128
+    dp_devices: int = 1             # >1: data-parallel graph training over
+                                    # a 1-D mesh of this many devices
 
     @property
     def name(self) -> str:
@@ -122,6 +126,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "node-classification aggregation")
     p.add_argument("--bcsr-block", dest="bcsr_block", type=int,
                    default=d.bcsr_block)
+    p.add_argument("--dp", dest="dp_devices", type=int, default=d.dp_devices,
+                   help="data-parallel graph training over N devices")
 
 
 def parse_train_args(argv=None) -> Config:
@@ -185,6 +191,14 @@ def parse_explain_args(argv=None) -> Config:
                    default=d.seed_ensemble,
                    help=">1 averages edge gates over several mask-init "
                         "seeds (stabilizes motif AUC)")
+    p.add_argument("--marginalize", action="store_true",
+                   default=d.marginalize,
+                   help="noise-marginalized feature masking "
+                        "(reference explain.py:701-705)")
+    p.add_argument("--log-mask-every", dest="log_mask_every", type=int,
+                   default=d.log_mask_every,
+                   help=">0: write mask / masked-adj heatmaps every k "
+                        "optimization epochs (reference explain.py:141-176)")
     ns = p.parse_args(argv)
     cfg = _to_config(ns)
     cfg.explainer_model = ns.explainer_model  # type: ignore[attr-defined]

@@ -73,6 +73,8 @@ def build_explainer(cfg: Config, explainer_model: str = "exp") -> Explainer:
         mask_act=cfg.mask_act,
         mask_bias=cfg.mask_bias,
         seed_ensemble=cfg.seed_ensemble,
+        marginalize=cfg.marginalize,
+        log_mask_every=cfg.log_mask_every,
     )
     return Explainer(
         model,
@@ -102,10 +104,37 @@ def main(argv=None) -> None:
 
     summary = {"dataset": cfg.name, "mode": "graph" if graph_mode else "node"}
     if cfg.explain_node is not None:
-        masked_adj = ex.explain(cfg.explain_node, model=explainer_model)
+        if explainer_model == "exp":
+            r = ex.explain_nodes_batch([cfg.explain_node])[0]
+            masked_adj = r["masked_adj"]
+            new_idx = r["node_idx_new"]
+            ex._save_npy(masked_adj, cfg.explain_node)
+            if cfg.log_mask_every > 0 and "masked_w" in r["history"]:
+                # periodic mask / masked-adj heatmaps
+                # (reference explain.py:141-176, 822-870)
+                from tpugraph.viz.graphs import save_matrix_image
+
+                w_hist = np.asarray(r["history"]["masked_w"])
+                g = ex._graph(0)
+                for ep in range(0, w_hist.shape[0], cfg.log_mask_every):
+                    dense_ep = ex._densify_mask(
+                        g, w_hist[ep], r["neighbors"]
+                    )
+                    save_matrix_image(
+                        dense_ep, "mask/masked_adj", outdir=ex.logdir,
+                        epoch=ep,
+                    )
+                summary["mask_heatmaps"] = int(
+                    np.ceil(w_hist.shape[0] / cfg.log_mask_every)
+                )
+        else:
+            masked_adj = ex.explain(cfg.explain_node, model=explainer_model)
+            new_idx = ex.extract_neighborhood(cfg.explain_node)[0]
         summary["explain_node"] = cfg.explain_node
         summary["mask_shape"] = list(masked_adj.shape)
-        G = denoise_graph(masked_adj, 0, threshold_num=12)
+        # highlight the query node at its subgraph index (reference
+        # explain.py:308-323; r1 hardcoded node 0 here)
+        G = denoise_graph(masked_adj, new_idx, threshold_num=12)
         path = log_graph(G, f"node_{cfg.explain_node}", outdir=ex.logdir)
         summary["viz"] = path
     elif graph_mode:

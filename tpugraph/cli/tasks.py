@@ -251,6 +251,11 @@ def benchmark_task(cfg: Config, log_fn=None, feat: str = "node-label") -> Dict:
             use_bias=cfg.bias,
             att=(cfg.method == "att"),
         )
+    mesh = None
+    if cfg.dp_devices > 1:
+        from tpugraph.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.dp_devices)
     out = train_graph_classifier(
         model,
         train_b,
@@ -260,6 +265,7 @@ def benchmark_task(cfg: Config, log_fn=None, feat: str = "node-label") -> Dict:
         linkpred=(cfg.method == "soft-assign" and cfg.linkpred),
         seed=cfg.seed,
         log_fn=log_fn,
+        mesh=mesh,
     )
     prefix = gen_prefix(
         cfg.name, cfg.method, cfg.hidden_dim, cfg.output_dim, cfg.bias,

@@ -155,12 +155,14 @@ class Explainer:
         dense[r[keep], s[keep]] = w[keep]
         return dense
 
-    def _save_npy(self, masked_adj: np.ndarray, node_idx: int, prefix: str = ""):
+    def _save_npy(self, masked_adj: np.ndarray, node_idx: int,
+                  prefix: str = "", graph_idx: Optional[int] = None):
         if self.logdir is None:
             return
         os.makedirs(self.logdir, exist_ok=True)
+        gi = self.graph_idx if graph_idx is None else graph_idx
         fname = (
-            f"masked_adj_{prefix}node_idx_{node_idx}graph_idx_{self.graph_idx}.npy"
+            f"masked_adj_{prefix}node_idx_{node_idx}graph_idx_{gi}.npy"
         )
         with open(os.path.join(self.logdir, fname), "wb") as f:
             np.save(f, masked_adj)
@@ -517,18 +519,32 @@ class Explainer:
             for r in results:
                 self._save_npy(r["masked_adj"], r["node_idx"])
         else:
-            masked_adjs, starts = [], []
-            results = []
-            for node_idx in node_indices:
-                adj = self.explain(node_idx, graph_idx, model=model)
-                new_idx, _, _, _, neighbors = self.extract_neighborhood(
-                    node_idx, graph_idx
+            # grad/att baselines: host neighborhood extraction, then ONE
+            # vmapped device call for every query (r1 looped per node)
+            neigh = [self.extract_neighborhood(i, graph_idx)
+                     for i in node_indices]
+            starts = [nb[0] for nb in neigh]
+            sub_adjs = [nb[1] for nb in neigh]
+            sub_feats = [nb[2] for nb in neigh]
+            if model == "grad":
+                pred_labels = [
+                    int(np.argmax(self.pred[graph_idx][nb[4]], axis=1)[nb[0]])
+                    for nb in neigh
+                ]
+                masked_adjs = baselines.grad_saliency_batch(
+                    self._model_apply, self.params, sub_adjs, sub_feats,
+                    starts, pred_labels,
                 )
-                masked_adjs.append(adj)
-                starts.append(new_idx)
+            else:
+                masked_adjs = baselines.attention_saliency_batch(
+                    self._model_apply, self.params, sub_adjs, sub_feats,
+                )
+            results = []
+            for k, node_idx in enumerate(node_indices):
+                self._save_npy(masked_adjs[k], node_idx)
                 results.append(
-                    {"node_idx": node_idx, "node_idx_new": new_idx,
-                     "neighbors": neighbors, "masked_adj": adj}
+                    {"node_idx": node_idx, "node_idx_new": starts[k],
+                     "neighbors": neigh[k][4], "masked_adj": masked_adjs[k]}
                 )
         auc = None
         try:
@@ -547,6 +563,14 @@ class Explainer:
             ) as f:
                 f.write(
                     f"dataset: {self.dataset}, model: {model}, auc: {auc}\n"
+                )
+            if real_all is not None:
+                # PR-curve PNG (reference explain.py:329-344)
+                from tpugraph.viz.graphs import plot_pr_curve
+
+                plot_pr_curve(
+                    real_all, pred_all, f"pr_{self.dataset}_{model}",
+                    outdir=os.path.join(self.logdir, "pr"),
                 )
         return {
             "masked_adjs": masked_adjs,
@@ -598,9 +622,67 @@ class Explainer:
         return masked_adjs
 
     def explain_graphs(self, graph_indices: Sequence[int]) -> List[np.ndarray]:
-        """Explain several graph predictions (reference
-        ``explain.py:356-402``)."""
+        """Explain several graph predictions in ONE vmapped device call
+        (reference ``explain.py:356-402`` — and r1 — optimized each graph
+        in its own dispatch; here all same-budget graphs share one jitted
+        batched mask optimization)."""
+        idxs = [int(gi) for gi in graph_indices]
+        if not idxs:
+            return []
+        if len(idxs) == 1:
+            return [self._explain_graph(idxs[0])]
+
+        from tpugraph.core.graph import batch_graphs
+
+        adjs = [self.adj[i] for i in idxs]
+        e_pad = max(8, ((max(int((a != 0).sum()) for a in adjs) + 7) // 8) * 8)
+        graphs = [
+            graph_from_dense(a, num_edges_padded=e_pad) for a in adjs
+        ]
+        bg = batch_graphs(graphs)
+        x = jnp.asarray(np.stack(
+            [self._padded_feat(i, graphs[k]) for k, i in enumerate(idxs)]
+        ))
+        gts = jnp.asarray(np.asarray(
+            [int(self.label[i]) for i in idxs], np.int32
+        ))
+        keys = jnp.stack(
+            [jax.random.PRNGKey(self.seed + i) for i in idxs]
+        )
+
+        if getattr(self, "_graph_batch_run", None) is None:
+            cfg = self.cfg
+            model_apply = self._model_apply
+
+            def one(params, g, xg, gt, key):
+                state, _ = run_mask_optimization(
+                    model_apply, params, g, xg,
+                    node_idx=jnp.asarray(0),
+                    gt_label=gt,
+                    pred_label_vec=jnp.zeros(
+                        (g.node_mask.shape[0],), jnp.float32
+                    ),
+                    edge_keep=None,
+                    num_sub_nodes=g.n_node,
+                    key=key,
+                    cfg=cfg,
+                    num_pairs=g.senders.shape[0],
+                    graph_mode=True,
+                )
+                return masked_edge_weights(g, state, cfg)
+
+            def batch(params, bg, x, gts, keys):
+                return jax.vmap(partial(one, params))(
+                    Graph(*bg), x, gts, keys
+                )
+
+            self._graph_batch_run = jax.jit(batch)
+
+        w_all = np.asarray(self._graph_batch_run(self.params, bg, x, gts, keys))
         out = []
-        for gi in graph_indices:
-            out.append(self._explain_graph(int(gi)))
+        for k, i in enumerate(idxs):
+            n = int(graphs[k].n_node)
+            dense = self._densify_mask(graphs[k], w_all[k], np.arange(n))
+            self._save_npy(dense, 0, graph_idx=i)
+            out.append(dense)
         return out

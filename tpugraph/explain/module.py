@@ -54,6 +54,12 @@ class ExplainConfig(NamedTuple):
     seed_ensemble: int = 1  # >1: average masks over several init seeds
                             # (stabilizes AUC on motif tasks; extension
                             # over the reference)
+    log_mask_every: int = 0  # >0: record the masked edge weights every
+                             # epoch into the history (downstream loggers
+                             # keep each k-th — reference logs mask /
+                             # masked-adj images every 25 epochs,
+                             # explain.py:141-176).  Costs [T, E] memory
+                             # per query; leave 0 for batched explains.
 
 
 class MaskState(NamedTuple):
@@ -277,10 +283,10 @@ def run_mask_optimization(
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(state)
 
-    def loss_fn(s):
+    def loss_fn(s, rng):
         probs, w = explain_forward(
             model_apply, params, g, x, s, cfg, node_idx, edge_keep,
-            graph_mode=graph_mode, unconstrained=unconstrained,
+            graph_mode=graph_mode, unconstrained=unconstrained, rng=rng,
         )
         total, terms = explain_loss(
             probs, w, g, x.shape[-1], s, cfg, gt_label, pred_label_vec,
@@ -288,16 +294,25 @@ def run_mask_optimization(
         )
         return total, terms
 
-    def step(carry, _):
+    def step(carry, epoch):
         s, o = carry
-        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(s)
+        # marginalize (reference explain.py:701-705) draws fresh feature
+        # noise each epoch; derive the per-epoch rng from the init key
+        rng = (
+            jax.random.fold_in(key, epoch + 1) if cfg.marginalize else None
+        )
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(s, rng)
         updates, o = tx.update(grads, o, s)
         s = optax.apply_updates(s, updates)
         # reference logs mask density every epoch (explain.py:137-176, 680-683)
         terms["density"] = mask_density(g, s, cfg, edge_keep)
+        if cfg.log_mask_every > 0:
+            terms["masked_w"] = masked_edge_weights(
+                g, s, cfg, edge_keep, unconstrained=unconstrained
+            )
         return (s, o), terms
 
     (state, _), history = jax.lax.scan(
-        step, (state, opt_state), None, length=cfg.num_epochs
+        step, (state, opt_state), jnp.arange(cfg.num_epochs)
     )
     return state, history

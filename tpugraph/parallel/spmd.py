@@ -60,12 +60,16 @@ def shard_graph_edges(g: Graph, mesh: Mesh, axis: str = "data") -> Graph:
 
 
 def sharded_spmm(
-    mesh: Mesh, axis: str = "data"
+    mesh: Mesh, axis="data"
 ) -> Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]:
     """Edge-partitioned sparse aggregation: local segment_sum + psum.
 
     Returns ``f(senders, receivers, weights, x) -> y`` where the edge
     arrays are sharded over ``axis`` and ``x``/``y`` are replicated.
+    ``axis`` may be a tuple of mesh axes (e.g. ``("dcn", "data")`` on a
+    2-D multi-host mesh) — the edge dimension shards over their product
+    and the psum reduces over both (gradient-style traffic on DCN, the
+    heavy all-reduce partials on ICI).
     """
 
     def local_agg(s, r, w, x):
@@ -448,29 +452,48 @@ def make_dp_graph_train_step(
     mesh: Mesh,
     axis: str = "data",
     linkpred: bool = False,
+    uses_assign: bool = False,
+    has_dropout: bool = False,
 ):
-    """Data-parallel graph-classification step: batch axis sharded over the
-    mesh; gradient psum inserted by XLA under jit."""
+    """Data-parallel graph-classification train step: the batch axis of
+    every tensor is sharded over ``axis``; parameters/optimizer state are
+    replicated and XLA inserts the gradient ``psum`` under ``jit``.
+
+    Drop-in for the single-device step of
+    ``train/loop.py:train_graph_classifier`` (same signature and
+    semantics, incl. dropout rng, DiffPool assign features, and the
+    linkpred auxiliary loss), so DP training produces the identical loss
+    trajectory.  ``batch_size`` must divide by the mesh size.
+    """
     batch_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def step(params, opt_state, adj, x, node_mask, label):
+    def step(params, opt_state, key, adj, x, node_mask, assign, label):
         def loss_fn(p):
-            logits, aux = model.apply(p, x, adj, node_mask=node_mask)
+            kwargs = {"node_mask": node_mask}
+            if uses_assign:
+                kwargs["assign_x"] = assign
+            if key is not None:
+                kwargs["deterministic"] = False
+                if has_dropout:
+                    kwargs["rngs"] = {"dropout": key}
+            logits, aux = model.apply(p, x, adj, **kwargs)
             loss = softmax_cross_entropy(logits, label)
             if linkpred and isinstance(aux, (list, tuple)) and aux:
                 from tpugraph.nn.losses import link_prediction_loss
 
                 loss = loss + link_prediction_loss(aux[0], adj, node_mask)
-            return loss
+            return loss, logits
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, logits
 
     return jax.jit(
         step,
-        in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(repl, repl, repl) + (batch_sh,) * 5,
+        out_shardings=(repl, repl, repl, batch_sh),
     )

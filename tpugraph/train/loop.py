@@ -245,6 +245,7 @@ def train_graph_classifier(
     seed: int = 0,
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     max_eval_examples: Optional[int] = 100,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Minibatch graph classification (reference ``train``,
     ``train.py:132-261``): Adam(lr=0.001) with grad clipping, per-epoch
@@ -254,6 +255,12 @@ def train_graph_classifier(
     ``model.apply(params, x, adj, node_mask=..., [assign_x=...])`` must
     return ``(logits [B, C], aux)`` where aux is the attention list or the
     DiffPool assignment list (when ``linkpred``).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the train step runs
+    data-parallel: batch tensors sharded over the mesh axis, parameters
+    replicated, gradient psum inserted by XLA
+    (``parallel/spmd.make_dp_graph_train_step``).  The loss trajectory is
+    identical to single-device because batches are already fixed-size.
     """
     rng = np.random.default_rng(seed)
     first = train_batcher.batch(np.arange(min(len(train_batcher), cfg.batch_size)))
@@ -285,18 +292,33 @@ def train_graph_classifier(
 
     has_dropout = getattr(model, "dropout", 0.0) > 0.001
 
-    @jax.jit
-    def step(p, s, key, adj, xb, mask, assign, label):
-        def loss_fn(p):
-            logits, aux = apply_model(p, adj, xb, mask, assign, key)
-            loss = softmax_cross_entropy(logits, label)
-            if linkpred and isinstance(aux, (list, tuple)) and len(aux) > 0:
-                loss = loss + link_prediction_loss(aux[0], adj, mask)
-            return loss, logits
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        updates, s = tx.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return p, s, loss, logits
+    if mesh is not None:
+        from tpugraph.parallel.spmd import make_dp_graph_train_step
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if cfg.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide by the "
+                f"{n_dev}-device mesh for data parallelism"
+            )
+        step = make_dp_graph_train_step(
+            model, tx, mesh, axis=tuple(mesh.shape.keys())[0],
+            linkpred=linkpred, uses_assign=uses_assign,
+            has_dropout=has_dropout,
+        )
+    else:
+        @jax.jit
+        def step(p, s, key, adj, xb, mask, assign, label):
+            def loss_fn(p):
+                logits, aux = apply_model(p, adj, xb, mask, assign, key)
+                loss = softmax_cross_entropy(logits, label)
+                if linkpred and isinstance(aux, (list, tuple)) and len(aux) > 0:
+                    loss = loss + link_prediction_loss(aux[0], adj, mask)
+                return loss, logits
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return p, s, loss, logits
 
     @jax.jit
     def infer(p, adj, xb, mask, assign):

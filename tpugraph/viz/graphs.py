@@ -177,6 +177,41 @@ def exp_moving_avg(values, decay: float = 0.85):
     return out
 
 
+def plot_pr_curve(
+    real,
+    pred,
+    name: str,
+    outdir: str = "log",
+    dpi: int = 200,
+) -> str:
+    """Precision-recall curve PNG for explanation masks vs motif ground
+    truth (reference ``explain_nodes_gnn_stats``, ``explain.py:329-344``).
+    ``real``: binary ground-truth edge labels; ``pred``: mask weights."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import average_precision_score, precision_recall_curve
+
+    real = np.asarray(real)
+    pred = np.asarray(pred)
+    precision, recall, _ = precision_recall_curve(real, pred)
+    ap = average_precision_score(real, pred)
+
+    fig = plt.figure(dpi=dpi)
+    plt.plot(recall, precision, lw=1.5)
+    plt.xlabel("recall")
+    plt.ylabel("precision")
+    plt.title(f"AP = {ap:.3f}")
+    plt.xlim(0, 1.02)
+    plt.ylim(0, 1.02)
+    save_path = os.path.join(outdir, f"{name.replace('/', '_')}.png")
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
+
+
 def plot_accuracy_curve(
     train_accs,
     val_or_test_accs=None,
