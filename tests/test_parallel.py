@@ -314,3 +314,71 @@ def test_dp_graph_training_matches_single_device(mesh8, tmp_path):
     out8 = benchmark_task(cfg8)
     np.testing.assert_allclose(out8["history"]["loss"],
                                out1["history"]["loss"], rtol=1e-3, atol=1e-4)
+
+
+def test_tensor_parallel_matches_replicated(rng):
+    """Column-sharded (tensor-parallel) weights produce the same forward,
+    gradients, and training trajectory as replicated weights (SURVEY
+    §2.2 TP row)."""
+    import optax
+
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.mesh import make_mesh
+    from tpugraph.parallel.tp import (
+        make_tp_node_train_step,
+        shard_params_tp,
+        tp_shardings,
+    )
+
+    mesh = make_mesh(8, axis_names=("model",))
+    n, d, c = 48, 16, 3
+    a = (rng.random((n, n)) < 0.12).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes_padded, d))
+                    .astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, g.num_nodes_padded).astype(np.int32))
+    model = GcnEncoderNode(input_dim=d, hidden_dim=32, embedding_dim=32,
+                           label_dim=c, num_layers=3)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = model.init(jax.random.PRNGKey(0), x, sp)
+
+    # hidden-dim kernels sharded, tiny head replicated
+    sh = tp_shardings(params, mesh)
+    specs = {ns.spec for ns in jax.tree_util.tree_leaves(sh)}
+    from jax.sharding import PartitionSpec as P
+    assert P(None, "model") in specs and P() in specs
+
+    params_tp = shard_params_tp(params, mesh)
+    fwd = jax.jit(lambda p, x: model.apply(p, x, sp)[0])
+    np.testing.assert_allclose(np.asarray(fwd(params_tp, x)),
+                               np.asarray(fwd(params, x)), atol=1e-4)
+
+    tx = optax.adam(1e-2)
+    step_tp = make_tp_node_train_step(model, tx, mesh)
+    p_tp, o_tp = params_tp, tx.init(params_tp)
+
+    @jax.jit
+    def step_ref(p, o):
+        from tpugraph.nn.losses import node_cross_entropy
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, sp)
+            return node_cross_entropy(logits, y, node_mask=g.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p_ref, o_ref = params, tx.init(params)
+    for _ in range(5):
+        p_tp, o_tp, loss_tp = step_tp(p_tp, o_tp, g.senders, g.receivers,
+                                      g.edge_weight, x, y, g.node_mask)
+        p_ref, o_ref, loss_ref = step_ref(p_ref, o_ref)
+        np.testing.assert_allclose(float(loss_tp), float(loss_ref),
+                                   rtol=2e-4)
+    # weights remain tensor-parallel after updates
+    kern = p_tp["params"]["stack"]["conv_first"]["weight"]
+    assert kern.sharding.spec == P(None, "model")

@@ -105,7 +105,13 @@ def main(argv=None) -> None:
     summary = {"dataset": cfg.name, "mode": "graph" if graph_mode else "node"}
     if cfg.explain_node is not None:
         if explainer_model == "exp":
-            r = ex.explain_nodes_batch([cfg.explain_node])[0]
+            if cfg.use_bcsr:
+                # tile-space mask optimization on the Pallas fast path
+                r = ex.explain_node_bcsr(
+                    cfg.explain_node, block=cfg.bcsr_block
+                )
+            else:
+                r = ex.explain_nodes_batch([cfg.explain_node])[0]
             masked_adj = r["masked_adj"]
             new_idx = r["node_idx_new"]
             ex._save_npy(masked_adj, cfg.explain_node)

@@ -196,6 +196,10 @@ def run_bcsr_mask_optimization(
             probs, w_tiles, gate, base, s, cfg, gt_label, pred_label_vec,
             num_sub_nodes, graph_mode=graph_mode,
         )
+        # density from the already-materialized masked tiles — a separate
+        # post-update masked_tiles() would re-touch the [T, B, B] buffers
+        # (HBM-bound) purely for logging
+        terms["density"] = bcsr_mask_density(base, w_tiles)
         return total, terms
 
     def step(carry, _):
@@ -203,8 +207,6 @@ def run_bcsr_mask_optimization(
         (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(s)
         updates, o = tx.update(grads, o, s)
         s = optax.apply_updates(s, updates)
-        w_tiles, _ = masked_tiles(base, sym_partner, s, cfg)
-        terms["density"] = bcsr_mask_density(base, w_tiles)
         return (s, o), terms
 
     (state, _), history = jax.lax.scan(
