@@ -234,3 +234,20 @@ def test_align_identical_graphs_converges():
     )
     assert np.linalg.norm(aligned_adj - adj) < 1.5
     assert P.shape == (5, 5)
+
+
+def test_marginalize_and_mask_snapshots(syn1_trained):
+    """marginalize draws per-epoch feature noise (was dead code in r1);
+    log_mask_every records the masked weights into the history."""
+    model, out, cg = syn1_trained
+    ex = Explainer(
+        model, out["params"], cg["adj"], cg["feat"], cg["label"], cg["pred"],
+        n_hops=3, dataset="syn1",
+        cfg=ExplainConfig(num_epochs=30, marginalize=True, log_mask_every=10),
+    )
+    r = ex.explain_nodes_batch([405])[0]
+    assert np.all(np.isfinite(r["masked_adj"]))
+    w_hist = r["history"]["masked_w"]
+    assert w_hist.shape[0] == 30  # per-epoch snapshots recorded
+    # mask actually evolves over epochs
+    assert not np.allclose(w_hist[0], w_hist[-1])

@@ -284,3 +284,21 @@ def test_spmm_bf16_and_blocks(rng, block):
     # bf16 tiles: ~1e-2 relative accuracy
     scale = np.abs(dense @ x[:n]).max() + 1e-9
     assert np.abs(y16[:n] - dense @ x[:n]).max() / scale < 5e-2
+
+
+def test_spmm_packed_bf16_x(rng):
+    """Packed kernel with bf16 x and bf16 tiles (manual-DMA scratch must
+    match the HBM source dtype — was hardcoded f32)."""
+    import dataclasses
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_pad_rows
+    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed
+
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.03)
+    m = bcsr_pad_rows(bcsr_from_coo(s, r, w, n), 2)
+    m16 = dataclasses.replace(m, tiles=m.tiles.astype(jnp.bfloat16))
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y = np.asarray(spmm_bcsr_packed(m16, jnp.asarray(x).astype(jnp.bfloat16),
+                                    k_pack=2, interpret=True))
+    expected = dense @ x[:n]
+    scale = np.abs(expected).max() + 1e-9
+    assert np.abs(y[:n] - expected).max() / scale < 5e-2

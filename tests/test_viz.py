@@ -39,3 +39,14 @@ def test_render_exports(tmp_path, rng):
     assert p3.endswith(".png")
     p4 = plot_cmap(outdir=str(tmp_path))
     assert p4.endswith(".png")
+
+
+def test_plot_pr_curve(tmp_path, rng):
+    from tpugraph.viz.graphs import plot_pr_curve
+
+    real = (rng.random(200) < 0.3).astype(int)
+    pred = np.clip(real * 0.7 + rng.random(200) * 0.5, 0, 1)
+    p = plot_pr_curve(real, pred, "pr_test", outdir=str(tmp_path))
+    assert p.endswith(".png")
+    import os
+    assert os.path.getsize(p) > 1000

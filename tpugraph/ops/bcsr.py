@@ -227,7 +227,7 @@ def bcsr_pad_rows(m: BCSR, k_pack: int) -> BCSR:
     new_counts = np.where(new_counts == 0, k_pack, new_counts)
     t_new = int(new_counts.sum())
 
-    new_tiles = np.zeros((t_new, b, b), dtype=np.float32)
+    new_tiles = np.zeros((t_new, b, b), dtype=tiles.dtype)
     new_col = np.zeros(t_new, dtype=np.int32)
     new_row = np.zeros(t_new, dtype=np.int32)
     new_ptr = np.zeros(n_blocks + 1, dtype=np.int32)

@@ -171,8 +171,11 @@ def _spmm_packed_kernel_factory(k_pack: int, block: int, d: int):
                 dma((j + 1) % 2, j + 1).start()
 
             dma(slot, j).wait()
+            xv = xbuf[slot]
+            if xv.dtype != tiles_ref.dtype:
+                xv = xv.astype(tiles_ref.dtype)
             out_ref[:] += jnp.dot(
-                tiles_ref[j], xbuf[slot], preferred_element_type=jnp.float32
+                tiles_ref[j], xv, preferred_element_type=jnp.float32
             )
 
         jax.lax.fori_loop(0, k_pack, body, None)
@@ -209,7 +212,9 @@ def spmm_bcsr_packed(
         ],
         out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, b, d), jnp.float32),
+            # manual-DMA buffer must match the HBM source dtype (bf16 x
+            # halves the gather traffic; accumulation stays f32 via the MXU)
+            pltpu.VMEM((2, b, d), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
