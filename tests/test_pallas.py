@@ -302,3 +302,61 @@ def test_spmm_packed_bf16_x(rng):
     expected = dense @ x[:n]
     scale = np.abs(expected).max() + 1e-9
     assert np.abs(y[:n] - expected).max() / scale < 5e-2
+
+
+def test_bcsr_matvec_dw_pair_matches_dw(rng):
+    """Explicit-transpose variant gives identical grads to the plan-based
+    one (it skips the per-layer transpose, not any math)."""
+    import dataclasses
+    from tpugraph.ops.bcsr import bcsr_transpose_plan, transpose_tiles
+    from tpugraph.ops.pallas_spmm import bcsr_matvec_dw, bcsr_matvec_dw_pair
+    from tpugraph.ops.bcsr import BCSR
+
+    s, r, w, dense, n = random_coo(rng, n=140)
+    m = bcsr_from_coo(s, r, w, n)
+    tp = bcsr_transpose_plan(m)
+    x = jnp.asarray(rng.standard_normal((m.num_nodes, 128)).astype(np.float32))
+    g_out = jnp.asarray(rng.standard_normal((m.num_nodes, 128)).astype(np.float32))
+
+    def loss_dw(tiles, xx):
+        mm = dataclasses.replace(m, tiles=tiles)
+        return jnp.sum(bcsr_matvec_dw(mm, tp, xx, interpret=True) * g_out)
+
+    def loss_pair(tiles, xx):
+        mm = dataclasses.replace(m, tiles=tiles)
+        mt = BCSR(tiles=transpose_tiles(tiles, tp), col_blk=tp.col_blk,
+                  row_ptr=tp.row_ptr, row_of=tp.row_of,
+                  num_nodes=tp.num_nodes, block=tp.block)
+        return jnp.sum(bcsr_matvec_dw_pair(mm, mt, xx, interpret=True) * g_out)
+
+    d1 = jax.grad(loss_dw, argnums=(0, 1))(m.tiles, x)
+    d2 = jax.grad(loss_pair, argnums=(0, 1))(m.tiles, x)
+    np.testing.assert_allclose(np.asarray(d2[0]), np.asarray(d1[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2[1]), np.asarray(d1[1]), atol=1e-4)
+
+
+def test_bcsr_matvec_packed_static_path(rng):
+    """bcsr_matvec(k_pack=...) routes both directions through the packed
+    kernel; fwd and grads match the per-tile path."""
+    from tpugraph.ops.bcsr import bcsr_pad_rows, choose_k_pack
+    from tpugraph.ops.pallas_spmm import bcsr_matvec
+
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.03)
+    m = bcsr_from_coo(s, r, w, n)
+    m_t = bcsr_transpose_host(s, r, w, n)
+    kp = 2
+    mp, mtp = bcsr_pad_rows(m, kp), bcsr_pad_rows(m_t, kp)
+    x = jnp.asarray(rng.standard_normal((m.num_nodes, 128)).astype(np.float32))
+
+    def loss(fn):
+        return lambda xx: jnp.sum(fn(xx) ** 2)
+
+    y1 = bcsr_matvec(m, m_t, x, interpret=True)
+    y2 = bcsr_matvec(mp, mtp, x, interpret=True, k_pack=kp)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-3)
+    g1 = jax.grad(loss(lambda xx: bcsr_matvec(m, m_t, xx, interpret=True)))(x)
+    g2 = jax.grad(loss(lambda xx: bcsr_matvec(mp, mtp, xx, interpret=True,
+                                              k_pack=kp)))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-2)
+    # choose_k_pack returns a sane value on this graph
+    assert choose_k_pack(m) >= 1

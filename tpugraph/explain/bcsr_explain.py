@@ -162,6 +162,7 @@ def run_bcsr_mask_optimization(
     key: jax.Array,
     cfg: ExplainConfig,
     graph_mode: bool = False,
+    spmm_dtype=None,
 ) -> Tuple[BCSRMaskState, jax.Array, Dict[str, jax.Array]]:
     """Full mask optimization as one ``lax.scan`` on the BCSR fast path.
 
@@ -169,6 +170,11 @@ def run_bcsr_mask_optimization(
     ARGUMENTS (closing over tile arrays bakes them into the HLO; see
     ``ops/pallas_spmm.bcsr_matvec``).  Returns (final state, final masked
     tiles, per-epoch loss-term history).
+
+    ``spmm_dtype`` (e.g. ``jnp.bfloat16``) casts the masked tiles fed to
+    the SpMM/SDDMM kernels, halving their HBM traffic; mask logits, the
+    loss, and the optimizer stay f32 (autodiff casts the tile cotangent
+    back up).
     """
     state = init_tile_masks(
         key, base.num_tiles, base.block, x.shape[-1], num_sub_nodes, cfg
@@ -186,8 +192,18 @@ def run_bcsr_mask_optimization(
                 else s.feat_logits
             )
             xx = x * feat_gate
-        masked = dataclasses.replace(base, tiles=w_tiles)
-        ypred, _ = model_apply(params, xx, BCSRAdj(masked, tp=tp))
+        w_run = w_tiles if spmm_dtype is None else w_tiles.astype(spmm_dtype)
+        masked = dataclasses.replace(base, tiles=w_run)
+        # W^T once per step (all L layers share one masked adjacency);
+        # layer backwards then skip their per-layer permute+transpose
+        from tpugraph.ops.bcsr import transpose_tiles
+
+        masked_t = BCSR(
+            tiles=jax.lax.stop_gradient(transpose_tiles(w_run, tp)),
+            col_blk=tp.col_blk, row_ptr=tp.row_ptr, row_of=tp.row_of,
+            num_nodes=tp.num_nodes, block=tp.block,
+        )
+        ypred, _ = model_apply(params, xx, BCSRAdj(masked, masked_t, tp))
         if graph_mode:
             probs = jax.nn.softmax(ypred if ypred.ndim == 1 else ypred[0])
         else:

@@ -41,23 +41,39 @@ class SparseAdj(NamedTuple):
     weight: jax.Array     # float32[E_pad]
 
 
-class BCSRAdj(NamedTuple):
+import dataclasses as _adj_dataclasses
+
+
+@_adj_dataclasses.dataclass
+class BCSRAdj:
     """Block-sparse adjacency for the Pallas MXU fast path
     (``tpugraph.ops.pallas_spmm``).  Feature dims are lane-padded to 128
     internally.  Two flavors:
 
     * static weights — pass ``m_t`` (BCSR of A^T, built with
       ``bcsr_transpose_host``): fastest, but gradients do not flow into
-      the tile values.
+      the tile values.  ``k_pack > 1`` selects the packed double-buffered
+      kernel (``m``/``m_t`` must be ``bcsr_pad_rows``-padded).
     * differentiable weights — pass ``tp`` (a
       ``tpugraph.ops.bcsr.bcsr_transpose_plan``): gradients flow into
       ``m.tiles`` via an on-support SDDMM, enabling learned masked
       adjacencies (the explainer) and GAT attention on this path.
+
+    Registered pytree: ``k_pack`` is static metadata (it selects the
+    kernel at trace time).
     """
 
     m: "object"          # BCSR
     m_t: "object" = None  # BCSR of A^T (static-weights fast path)
     tp: "object" = None   # BCSRTranspose plan (differentiable-weights path)
+    k_pack: int = 0       # static: >1 = packed kernel on the static path
+
+
+jax.tree_util.register_dataclass(
+    BCSRAdj,
+    data_fields=["m", "m_t", "tp"],
+    meta_fields=["k_pack"],
+)
 
 
 import dataclasses as _dataclasses
@@ -141,6 +157,7 @@ class GraphConv(nn.Module):
                 LANES,
                 bcsr_matvec,
                 bcsr_matvec_dw,
+                bcsr_matvec_dw_pair,
                 sddmm_dw,
             )
 
@@ -169,10 +186,17 @@ class GraphConv(nn.Module):
                 adj_att: Adjacency = BCSRAdj(eff, None, adj.tp)
                 y = bcsr_matvec_dw(eff, adj.tp, x_p)[:, :d_in]
             elif adj.tp is not None:
-                y = bcsr_matvec_dw(adj.m, adj.tp, x_p)[:, :d_in]
+                if adj.m_t is not None:
+                    # differentiable path with caller-precomputed W^T —
+                    # shared across layers (one transpose per step)
+                    y = bcsr_matvec_dw_pair(adj.m, adj.m_t, x_p)[:, :d_in]
+                else:
+                    y = bcsr_matvec_dw(adj.m, adj.tp, x_p)[:, :d_in]
                 adj_att = adj
             else:
-                y = bcsr_matvec(adj.m, adj.m_t, x_p)[:, :d_in]
+                y = bcsr_matvec(
+                    adj.m, adj.m_t, x_p, k_pack=adj.k_pack or None
+                )[:, :d_in]
                 adj_att = adj
         elif isinstance(adj, HaloAdj):
             # Boundary-only halo exchange, then local aggregation — one

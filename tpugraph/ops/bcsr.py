@@ -207,6 +207,26 @@ def _ensure_no_empty_rows(m: BCSR, counts: np.ndarray) -> BCSR:
     return bcsr_pad_rows(m, 1)
 
 
+def choose_k_pack(m: BCSR, max_overhead: float = 1.2) -> int:
+    """Pick a k_pack for the packed double-buffered SpMM kernel: the
+    typical (median) row-block tile count, clipped to [1, 8], if padding
+    every row to that multiple costs less than ``max_overhead`` dead
+    tiles.  Returns 1 when packing isn't worth it.  Host-side arithmetic
+    only — call :func:`bcsr_pad_rows` with the result before using
+    ``k_pack`` in ``bcsr_matvec``/``spmm_bcsr_packed``."""
+    cnt = np.diff(np.asarray(m.row_ptr))
+    pos = cnt[cnt > 0]
+    if not pos.size:
+        return 1
+    kp = int(np.clip(np.median(pos), 1, 8))
+    if kp < 2:
+        return 1
+    padded = int(np.where(cnt == 0, kp, ((cnt + kp - 1) // kp) * kp).sum())
+    if padded > max_overhead * max(m.num_tiles, 1):
+        return 1
+    return kp
+
+
 def bcsr_pad_rows(m: BCSR, k_pack: int) -> BCSR:
     """Pad each row block's tile list with dead tiles (zero values,
     col 0) so every row's count is a multiple of ``k_pack`` — required by

@@ -231,27 +231,38 @@ def spmm_bcsr_packed(
     )(m.row_of, m.col_blk, m.tiles, x)
 
 
+def _spmm_any(m: BCSR, x: jax.Array, interpret, k_pack) -> jax.Array:
+    if k_pack and k_pack > 1:
+        return spmm_bcsr_packed(m, x, k_pack=k_pack, interpret=interpret)
+    return spmm_bcsr(m, x, interpret=interpret)
+
+
 def bcsr_matvec(m: BCSR, m_t: BCSR, x: jax.Array,
-                interpret: Optional[bool] = None) -> jax.Array:
+                interpret: Optional[bool] = None,
+                k_pack: Optional[int] = None) -> jax.Array:
     """Differentiable sparse aggregation ``A @ x`` with a custom VJP
     (``dx = A^T @ g`` via the transposed BCSR — no XLA scatter in the
     backward pass).
+
+    ``k_pack > 1`` routes both directions through the double-buffered
+    packed kernel (+15-19%% measured; ``m``/``m_t`` must be
+    ``bcsr_pad_rows``-padded to that multiple).
 
     IMPORTANT: pass ``m``/``m_t`` as *arguments* through any enclosing
     ``jit`` — closing over them bakes the tile arrays into the HLO as
     constants, which (a) can exceed compile-payload limits and (b) was
     measured to cost ~150x in steady-state dispatch (26 ms vs 0.19 ms for
     a 2560-tile SpMM on v5e)."""
-    return _bcsr_matvec_vjp(m, m_t, x, interpret)
+    return _bcsr_matvec_vjp(m, m_t, x, interpret, k_pack)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bcsr_matvec_vjp(m, m_t, x, interpret):
-    return spmm_bcsr(m, x, interpret=interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bcsr_matvec_vjp(m, m_t, x, interpret, k_pack):
+    return _spmm_any(m, x, interpret, k_pack)
 
 
-def _matvec_fwd(m, m_t, x, interpret):
-    return spmm_bcsr(m, x, interpret=interpret), (m, m_t)
+def _matvec_fwd(m, m_t, x, interpret, k_pack):
+    return _spmm_any(m, x, interpret, k_pack), (m, m_t)
 
 
 def _zero_cotangent(m: BCSR):
@@ -267,9 +278,9 @@ def _zero_cotangent(m: BCSR):
     return jax.tree_util.tree_map(zero, m)
 
 
-def _matvec_bwd(interpret, res, g):
+def _matvec_bwd(interpret, k_pack, res, g):
     m, m_t = res
-    dx = spmm_bcsr(m_t, g, interpret=interpret)
+    dx = _spmm_any(m_t, g, interpret, k_pack)
     return (_zero_cotangent(m), _zero_cotangent(m_t), dx)
 
 
@@ -348,6 +359,41 @@ def _dw_bwd(interpret, res, g):
 
 
 _bcsr_matvec_dw.defvjp(_dw_fwd, _dw_bwd)
+
+
+def bcsr_matvec_dw_pair(
+    m: BCSR, m_t: BCSR, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Like :func:`bcsr_matvec_dw` but with the transposed tiles supplied
+    by the caller.  When one masked adjacency feeds several layers (the
+    explainer's L-layer forward), computing ``W^T`` once per step instead
+    of once per layer-backward saves two full [T, B, B] permute+transpose
+    passes per step.  ``m_t`` must hold the tiles of ``m``'s transpose
+    (e.g. ``transpose_tiles(m.tiles, tp)`` with the matching structure);
+    it is treated as a precomputed constant — its cotangent is zero, and
+    the gradient w.r.t. the weights flows through ``m.tiles`` only (which
+    is mathematically complete: ``y = A @ x`` depends on A alone).
+    """
+    return _bcsr_matvec_dw_pair(m, m_t, x, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bcsr_matvec_dw_pair(m, m_t, x, interpret):
+    return spmm_bcsr(m, x, interpret=interpret)
+
+
+def _dw_pair_fwd(m, m_t, x, interpret):
+    return spmm_bcsr(m, x, interpret=interpret), (m, m_t, x)
+
+
+def _dw_pair_bwd(interpret, res, g):
+    m, m_t, x = res
+    dx = spmm_bcsr(m_t, g, interpret=interpret)
+    dtiles = sddmm_bcsr(m, g, x, interpret=interpret)
+    return (_replace_tiles_cotangent(m, dtiles), _zero_cotangent(m_t), dx)
+
+
+_bcsr_matvec_dw_pair.defvjp(_dw_pair_fwd, _dw_pair_bwd)
 
 
 def sddmm_dw(

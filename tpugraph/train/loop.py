@@ -52,6 +52,8 @@ class TrainConfig:
     scan_chunk: int = 25  # epochs fused into one device call
     use_bcsr: bool = False  # Pallas block-sparse aggregation (TPU fast path)
     bcsr_block: int = 128   # BCSR tile size (128 or 256; see bench.py)
+    bcsr_k_pack: int = 0    # packed kernel: 0 = off (fastest for f32
+                            # tiles), >1 = fixed k, -1 = auto (choose_k_pack)
 
 
 def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> OptimizerConfig:
@@ -119,14 +121,26 @@ def train_node_classifier(
         # transpose, for the custom-VJP backward) into MXU tiles once on
         # the host; node padding may grow to a block multiple.
         from tpugraph.nn.layers import BCSRAdj
-        from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
+        from tpugraph.ops.bcsr import (
+            bcsr_from_coo,
+            bcsr_pad_rows,
+            bcsr_transpose_host,
+            choose_k_pack,
+        )
 
         s_np = np.asarray(g.senders)
         r_np = np.asarray(g.receivers)
         w_np = np.asarray(g.edge_weight)
         m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
         m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
-        sp = BCSRAdj(m, m_t)
+        # Packed double-buffered kernel is OPT-IN here: it wins on bf16
+        # tiles (+19%, bench.py) but measured SLOWER for this f32 training
+        # path (33.3 vs 37.5 epochs/s at 65k/256-block) — BlockSpec
+        # pipelining already saturates f32 tile bandwidth.
+        kp = choose_k_pack(m) if cfg.bcsr_k_pack < 0 else cfg.bcsr_k_pack
+        if kp > 1:
+            m, m_t = bcsr_pad_rows(m, kp), bcsr_pad_rows(m_t, kp)
+        sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
         if m.num_nodes > n_pad:
             extra = m.num_nodes - n_pad
             feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
