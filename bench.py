@@ -125,7 +125,7 @@ def main() -> None:
     enable_compile_cache()
     import jax.numpy as jnp
 
-    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
+    from tpugraph.ops.bcsr import bcsr_from_coo
     from tpugraph.ops.pallas_spmm import spmm_bcsr
     from tpugraph.ops.message import spmm
 
@@ -155,39 +155,35 @@ def main() -> None:
     num_edges = s.shape[0]
     log(f"graph: {n} nodes, {num_edges} directed edges, feature dim {d}")
 
-    import dataclasses
+    from tpugraph.ops.bcsr import choose_k_pack_counts, coo_tile_counts
 
-    from tpugraph.ops.bcsr import bcsr_pad_rows
-
-    def cast_tiles(mm):
-        if tile_dtype == "float32":
-            return mm
-        return dataclasses.replace(
-            mm, tiles=mm.tiles.astype(jnp.dtype(tile_dtype))
-        )
-
-    def pick_pack(mm):
-        """k_pack for the double-buffered packed kernel: the typical
-        row-block tile count, if padding rows to its multiple costs <20%
-        dead tiles (measured +15% throughput over the per-tile kernel).
-        Host-side arithmetic only — no padded copy is materialized here."""
-        cnt = np.diff(np.asarray(mm.row_ptr))
-        pos = cnt[cnt > 0]
-        kp = int(np.clip(np.median(pos), 1, 8)) if pos.size else 1
+    def pick_pack(ss, rr, nn):
+        """k_pack for the double-buffered packed kernel, decided from
+        COO-level tile counts BEFORE packing (<20% dead-tile overhead;
+        measured +15% throughput over the per-tile kernel).  Padding then
+        happens inside bcsr_from_coo on the host — no post-hoc device
+        scatter."""
+        cnt = coo_tile_counts(ss, rr, nn, block=block)
+        kp = choose_k_pack_counts(cnt)
         if kp < 2:
             return 1, 1.0
         padded = int(np.where(cnt == 0, kp,
                               ((cnt + kp - 1) // kp) * kp).sum())
-        return kp, padded / max(mm.num_tiles, 1)
+        return kp, padded / max(int(cnt.sum()), 1)
 
-    m = bcsr_from_coo(s, r, w, n, block=block)
-    m_t = bcsr_transpose_host(s, r, w, n, block=block)
-    m, m_t = cast_tiles(m), cast_tiles(m_t)
-    k_pack, overhead = pick_pack(m)
-    use_packed = k_pack >= 2 and overhead <= 1.2
+    td = None if tile_dtype == "float32" else jnp.dtype(tile_dtype)
+    k_pack, overhead = pick_pack(s, r, n)
+    use_packed = k_pack >= 2
+    prt = k_pack if use_packed else None
+    m = bcsr_from_coo(s, r, w, n, block=block, tile_dtype=td,
+                      pad_rows_to=prt)
+    # both bench graphs are symmetric with unit weights, so A^T == A:
+    # reuse the same BCSR for the backward leg (the kernels treat the two
+    # arguments independently; bcsr_transpose_host covers the general
+    # asymmetric case and is parity-tested in tests/test_pallas.py)
+    m_t = m
     if use_packed:
-        m_packed = bcsr_pad_rows(m, k_pack)
-        m_t_packed = bcsr_pad_rows(m_t, k_pack)
+        m_packed, m_t_packed = m, m_t
     log(f"bcsr: {m.num_tiles} tiles of {m.block}x{m.block} "
         f"(density {num_edges / (m.num_tiles * m.block * m.block):.3f}; "
         f"packed k={k_pack if use_packed else 'off'}, "
@@ -267,26 +263,71 @@ def main() -> None:
         m_used = m
     t_coo, cks_c = run("coo", chained_coo, (sd, rd, wd, x))
 
+    # ---- bf16 end-to-end chain: activations live in HBM as bf16, so the
+    # packed kernel's manual DMA gathers HALF the x bytes AND writes half
+    # the output bytes (out_dtype=bf16, f32 VMEM accumulation).  The
+    # kernel is memory-bound (HBM util below), so fewer bytes ≈ less time.
+    t_bf16 = None
+    if use_packed:
+
+        @partial(jax.jit, static_argnames=("k", "kp"))
+        def chained_pallas_bf16(m, m_t, x, k, kp):
+            def body(xc, _):
+                y = spmm_bcsr_packed(
+                    m, xc, k_pack=kp, interpret=interp,
+                    out_dtype=jnp.bfloat16,
+                )
+                dx = spmm_bcsr_packed(
+                    m_t, y, k_pack=kp, interpret=interp,
+                    out_dtype=jnp.bfloat16,
+                )
+                dxf = dx.astype(jnp.float32)
+                scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
+                return (dxf * scale).astype(jnp.bfloat16), ()
+
+            xf, _ = jax.lax.scan(
+                body, x.astype(jnp.bfloat16), None, length=k
+            )
+            return jnp.sum(xf.astype(jnp.float32))
+
+        t_bf16, cks_b = run(
+            f"pallas-packed-k{k_pack}-bf16",
+            partial(chained_pallas_bf16, kp=k_pack),
+            (m_packed, m_t_packed, x),
+        )
+        rel_b = abs(cks_b - cks_c) / (abs(cks_c) + 1e-9)
+        log(f"bf16-chain checksum rel diff vs coo: {rel_b:.2e}")
+        assert rel_b < 1e-1, "bf16 chain diverged"
+
     # correctness guard: after K renormalized iterations both paths must
     # land on (numerically) the same checksum.
     rel = abs(cks_p - cks_c) / (abs(cks_c) + 1e-9)
     log(f"checksum rel diff: {rel:.2e}")
     assert rel < 5e-2, "pallas/coo divergence"
 
-    pallas_eps = 2 * num_edges / t_pallas
+    if t_bf16 is not None and t_bf16 < t_pallas:
+        headline_t, headline_cfg = t_bf16, "bf16-chain"
+    else:
+        headline_t, headline_cfg = t_pallas, "f32-chain"
+    pallas_eps = 2 * num_edges / headline_t
+    f32_eps = 2 * num_edges / t_pallas
+    bf16_eps = 2 * num_edges / t_bf16 if t_bf16 is not None else None
     coo_eps = 2 * num_edges / t_coo
-    log(f"pallas: {pallas_eps:.3e} edges/s ; coo: {coo_eps:.3e} edges/s")
+    log(f"pallas best [{headline_cfg}]: {pallas_eps:.3e} edges/s "
+        f"(f32 {f32_eps:.3e}"
+        + (f", bf16 {bf16_eps:.3e}" if bf16_eps else "")
+        + f") ; coo: {coo_eps:.3e} edges/s")
 
-    def roofline(m, t_iter, n_edges, tag):
+    def roofline(m, t_iter, n_edges, tag, act_bytes=4):
         """MFU + roofline accounting for one fwd+bwd chained iteration
         (2 SpMMs).  dense = all tile FLOPs; edge = FLOPs on real edges."""
         tile_b = jnp.dtype(m.tiles.dtype).itemsize
         dense_flops = 2 * (2 * m.num_tiles * m.block * m.block * d)
         edge_flops = 2 * (2 * n_edges * d)
         bytes_per = 2 * (
-            m.num_tiles * m.block * m.block * tile_b   # tiles
-            + m.num_tiles * m.block * d * 4            # gathered x blocks
-            + m.num_nodes * d * 4                      # output
+            m.num_tiles * m.block * m.block * tile_b       # tiles
+            + m.num_tiles * m.block * d * act_bytes        # gathered x blocks
+            + m.num_nodes * d * act_bytes                  # output
         )
         stats = {
             "density": n_edges / (m.num_tiles * m.block * m.block),
@@ -302,7 +343,10 @@ def main() -> None:
             f"HBM {stats['hbm_util']:.1%}")
         return stats
 
-    banded_stats = roofline(m_used, t_pallas, num_edges, "banded")
+    banded_stats = roofline(
+        m_used, headline_t, num_edges, f"banded-{headline_cfg}",
+        act_bytes=2 if headline_cfg == "bf16-chain" else 4,
+    )
 
     # ---- real (scale-free) topology: NO artificial locality.  Packing
     # quality is ordering-dependent: RCM wins on bandwidth-structured
@@ -342,15 +386,16 @@ def main() -> None:
     s2o, r2o = orderings[best]
     # cast to the compact dtype FIRST, pad second: at 20k+ tiles the f32
     # intermediates otherwise stack up against the 16 GB HBM
-    m2 = cast_tiles(bcsr_from_coo(s2o, r2o, w2, n_r, block=block))
-    kp2, ovh2 = pick_pack(m2)
-    use_packed2 = kp2 >= 2 and ovh2 <= 1.2
-    if use_packed2:
-        m2 = bcsr_pad_rows(m2, kp2)
-    m2_t = cast_tiles(bcsr_transpose_host(s2o, r2o, w2, n_r, block=block))
-    if use_packed2:
-        m2_t = bcsr_pad_rows(m2_t, kp2)
-    log(f"powerlaw packing: k={kp2 if use_packed2 else 'off'} "
+    kp2, ovh2 = pick_pack(s2o, r2o, n_r)
+    use_packed2 = kp2 >= 2
+    prt2 = kp2 if use_packed2 else None
+    tpk = time.perf_counter()
+    m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td,
+                       pad_rows_to=prt2)
+    log(f"powerlaw pack fwd: {time.perf_counter()-tpk:.1f}s "
+        f"({m2.num_tiles} tiles)")
+    m2_t = m2  # symmetric unit-weight graph: A^T == A (see above)
+    log(f"powerlaw packing k={kp2 if use_packed2 else 'off'} "
         f"(pad overhead {ovh2:.2f})")
     x2 = jnp.asarray(
         np.random.default_rng(2)
@@ -389,6 +434,9 @@ def main() -> None:
                 "value": pallas_eps,
                 "unit": "edges/s",
                 "vs_baseline": pallas_eps / coo_eps,
+                "chain_dtype": headline_cfg,
+                "edges_per_s_f32_chain": f32_eps,
+                "edges_per_s_bf16_chain": bf16_eps,
                 "mfu_dense": round(banded_stats["mfu_dense"], 4),
                 "edge_frac_of_peak": round(
                     banded_stats["edge_frac_of_peak"], 4

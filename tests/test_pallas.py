@@ -360,3 +360,99 @@ def test_bcsr_matvec_packed_static_path(rng):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-2)
     # choose_k_pack returns a sane value on this graph
     assert choose_k_pack(m) >= 1
+
+
+def test_spmm_bf16_out_dtype(rng):
+    """out_dtype=bf16: f32 VMEM accumulation, one downcast store per row
+    block.  Values match the f32 kernel to bf16 rounding; empty row
+    blocks still come out zero."""
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.03)
+    m = bcsr_from_coo(s, r, w, n)
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y32 = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    y16 = spmm_bcsr(m, jnp.asarray(x), interpret=True,
+                    out_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.bfloat16
+    scale = np.abs(y32).max() + 1e-9
+    assert np.abs(np.asarray(y16, np.float32) - y32).max() / scale < 2e-2
+
+    # isolated empty row block (nodes 128..255)
+    s2 = np.array([0, 1, 300, 301], np.int32)
+    r2 = np.array([1, 0, 301, 300], np.int32)
+    m2 = bcsr_from_coo(s2, r2, np.ones(4, np.float32), 384)
+    x2 = rng.standard_normal((m2.num_nodes, 128)).astype(np.float32)
+    y2 = np.asarray(
+        spmm_bcsr(m2, jnp.asarray(x2), interpret=True,
+                  out_dtype=jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(y2[128:256], 0.0)
+
+
+def test_spmm_packed_bf16_out_dtype(rng):
+    """Packed kernel bf16-everything chain (bf16 tiles, bf16 x DMA, bf16
+    output) matches the dense oracle within bf16 tolerance."""
+    import dataclasses
+    from tpugraph.ops.bcsr import bcsr_pad_rows
+    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed
+
+    s, r, w, dense, n = random_coo(rng, n=300, p=0.03)
+    m = bcsr_pad_rows(bcsr_from_coo(s, r, w, n), 2)
+    m16 = dataclasses.replace(m, tiles=m.tiles.astype(jnp.bfloat16))
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y = spmm_bcsr_packed(
+        m16, jnp.asarray(x).astype(jnp.bfloat16), k_pack=2,
+        interpret=True, out_dtype=jnp.bfloat16,
+    )
+    assert y.dtype == jnp.bfloat16
+    expected = dense @ x[:n]
+    scale = np.abs(expected).max() + 1e-9
+    err = np.abs(np.asarray(y, np.float32)[:n] - expected).max() / scale
+    assert err < 5e-2, err
+
+
+def test_bcsr_pad_at_pack_time(rng):
+    """bcsr_from_coo(pad_rows_to=k) ≡ bcsr_pad_rows(bcsr_from_coo(), k)
+    (host-side pad, no device scatter), and coo_tile_counts matches the
+    packed row_ptr."""
+    from tpugraph.ops.bcsr import (
+        bcsr_pad_rows,
+        bcsr_to_dense,
+        choose_k_pack_counts,
+        coo_tile_counts,
+    )
+
+    s, r, w, dense, n = random_coo(rng, n=400, p=0.03)
+    m = bcsr_from_coo(s, r, w, n)
+    cnt = coo_tile_counts(s, r, n)
+    np.testing.assert_array_equal(cnt, np.diff(np.asarray(m.row_ptr)))
+    kp = max(choose_k_pack_counts(cnt), 2)
+
+    a = bcsr_pad_rows(m, kp)
+    b = bcsr_from_coo(s, r, w, n, pad_rows_to=kp)
+    assert a.num_tiles == b.num_tiles and b.num_tiles % kp == 0
+    np.testing.assert_array_equal(np.asarray(a.row_ptr), np.asarray(b.row_ptr))
+    np.testing.assert_array_equal(np.asarray(a.row_of), np.asarray(b.row_of))
+    np.testing.assert_array_equal(np.asarray(a.col_blk), np.asarray(b.col_blk))
+    np.testing.assert_allclose(np.asarray(a.tiles), np.asarray(b.tiles))
+    np.testing.assert_allclose(bcsr_to_dense(b)[:n, :n], dense, atol=1e-6)
+
+    # bf16 host cast at pack time
+    b16 = bcsr_from_coo(s, r, w, n, pad_rows_to=kp,
+                        tile_dtype=jnp.bfloat16)
+    assert b16.tiles.dtype == jnp.bfloat16
+
+
+def test_spmm_packed_v3_matches_v1(rng):
+    """Cross-step DMA-ring kernel (v3) matches the per-tile kernel."""
+    from tpugraph.ops.bcsr import bcsr_pad_rows
+    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed_v3
+
+    s, r, w, dense, n = random_coo(rng, n=400, p=0.03)
+    m = bcsr_from_coo(s, r, w, n)
+    for kp in (1, 2, 4):
+        mp = bcsr_pad_rows(m, kp)
+        x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+        y1 = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+        y3 = np.asarray(spmm_bcsr_packed_v3(mp, jnp.asarray(x), k_pack=kp,
+                                            interpret=True))
+        np.testing.assert_allclose(y3, y1, atol=1e-3)

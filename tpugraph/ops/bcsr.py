@@ -73,9 +73,46 @@ def bcsr_from_coo(
     num_nodes: int,
     block: int = 128,
     pad_tiles_to: Optional[int] = None,
+    tile_dtype=None,
+    pad_rows_to: Optional[int] = None,
 ) -> BCSR:
     """Host-side COO -> BCSR conversion.  Convention matches
-    ``ops.message.spmm``: entry (row=receiver, col=sender) = weight."""
+    ``ops.message.spmm``: entry (row=receiver, col=sender) = weight.
+
+    ``tile_dtype`` (e.g. ``jnp.bfloat16``) casts the packed tiles on the
+    HOST before the device upload — at 20k+ 256-square tiles the f32
+    upload alone is tens of seconds through this platform's transfer
+    tunnel, so halving the bytes first matters.
+
+    ``pad_rows_to`` pads every row block's tile count to that multiple
+    (dead tiles) HERE, on the host, before the upload — the packed
+    kernel's layout requirement.  Choose the value with
+    :func:`coo_tile_counts` + :func:`choose_k_pack_counts`; a post-hoc
+    :func:`bcsr_pad_rows` on a device-resident BCSR costs a fresh
+    eager-scatter compile (or, worse, a multi-GB host round trip)."""
+    def _finalize(tiles_np, col_blk, row_of, row_ptr):
+        counts = np.diff(row_ptr)
+        k = pad_rows_to or 1
+        if k > 1 or np.any(counts == 0):
+            dst, col_blk, row_of, row_ptr, t_new = _pad_rows_layout(
+                np.asarray(row_ptr), np.asarray(row_of),
+                np.asarray(col_blk), k,
+            )
+            padded = np.zeros((t_new,) + tiles_np.shape[1:],
+                              dtype=tiles_np.dtype)
+            padded[dst] = tiles_np[: len(dst)]
+            tiles_np = padded
+        if tile_dtype is not None:
+            tiles_np = tiles_np.astype(jnp.dtype(tile_dtype))
+        return BCSR(
+            tiles=jnp.asarray(tiles_np),
+            col_blk=jnp.asarray(col_blk),
+            row_ptr=jnp.asarray(row_ptr),
+            row_of=jnp.asarray(row_of),
+            num_nodes=n_pad,
+            block=block,
+        )
+
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     weights = np.asarray(weights, dtype=np.float32)
@@ -94,15 +131,7 @@ def bcsr_from_coo(
             tiles, col_blk, row_of, row_ptr, _ = native.bcsr_pack(
                 r, s, w, n_pad, block, pad_tiles_to
             )
-            out = BCSR(
-                tiles=jnp.asarray(tiles),
-                col_blk=jnp.asarray(col_blk),
-                row_of=jnp.asarray(row_of),
-                row_ptr=jnp.asarray(row_ptr),
-                num_nodes=n_pad,
-                block=block,
-            )
-            return _ensure_no_empty_rows(out, np.diff(row_ptr))
+            return _finalize(tiles, col_blk, row_of, row_ptr)
     except ValueError:
         raise
     except Exception:
@@ -145,15 +174,7 @@ def bcsr_from_coo(
     counts[n_blocks - 1] += t_pad - t
     row_ptr[1:] = np.cumsum(counts)
 
-    out = BCSR(
-        tiles=jnp.asarray(tiles),
-        col_blk=jnp.asarray(col_blk),
-        row_ptr=jnp.asarray(row_ptr),
-        row_of=jnp.asarray(row_of),
-        num_nodes=n_pad,
-        block=block,
-    )
-    return _ensure_no_empty_rows(out, counts)
+    return _finalize(tiles, col_blk, row_of, row_ptr)
 
 
 def rcm_reorder(
@@ -188,12 +209,15 @@ def bcsr_transpose_host(
     num_nodes: int,
     block: int = 128,
     pad_tiles_to: Optional[int] = None,
+    tile_dtype=None,
+    pad_rows_to: Optional[int] = None,
 ) -> BCSR:
     """BCSR of A^T (for the backward pass dX = A^T @ dY).  For symmetric
     graph adjacencies A^T == A, but masked/attention weights break
     symmetry in general."""
     return bcsr_from_coo(
-        receivers, senders, weights, num_nodes, block, pad_tiles_to
+        receivers, senders, weights, num_nodes, block, pad_tiles_to,
+        tile_dtype=tile_dtype, pad_rows_to=pad_rows_to,
     )
 
 
@@ -207,14 +231,54 @@ def _ensure_no_empty_rows(m: BCSR, counts: np.ndarray) -> BCSR:
     return bcsr_pad_rows(m, 1)
 
 
-def choose_k_pack(m: BCSR, max_overhead: float = 1.2) -> int:
-    """Pick a k_pack for the packed double-buffered SpMM kernel: the
-    typical (median) row-block tile count, clipped to [1, 8], if padding
-    every row to that multiple costs less than ``max_overhead`` dead
-    tiles.  Returns 1 when packing isn't worth it.  Host-side arithmetic
-    only — call :func:`bcsr_pad_rows` with the result before using
-    ``k_pack`` in ``bcsr_matvec``/``spmm_bcsr_packed``."""
-    cnt = np.diff(np.asarray(m.row_ptr))
+def _pad_rows_layout(row_ptr: np.ndarray, row_of: np.ndarray,
+                     col_blk: np.ndarray, k_pack: int):
+    """Vectorized host-side layout for row padding: returns
+    ``(dst, new_col, new_row, new_ptr, t_new)`` where ``dst[i]`` is the
+    destination slot of existing tile ``i``.  Dead slots keep col 0 /
+    zero values.  Empty row blocks get one ``k_pack`` group of dead tiles
+    so the kernel still zeroes their output."""
+    n_blocks = len(row_ptr) - 1
+    t_old = int(row_ptr[-1])
+    counts = np.diff(row_ptr)
+    new_counts = ((counts + k_pack - 1) // k_pack) * k_pack
+    new_counts = np.where(new_counts == 0, k_pack, new_counts)
+    t_new = int(new_counts.sum())
+    new_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
+    new_ptr[1:] = np.cumsum(new_counts)
+    ro = row_of[:t_old]
+    dst = (new_ptr[ro] + (np.arange(t_old) - row_ptr[ro])).astype(np.int64)
+    new_col = np.zeros(t_new, dtype=np.int32)
+    new_col[dst] = col_blk[:t_old]
+    new_row = np.repeat(np.arange(n_blocks, dtype=np.int32), new_counts)
+    return dst, new_col, new_row, new_ptr, t_new
+
+
+def coo_tile_counts(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    block: int = 128,
+) -> np.ndarray:
+    """Per-row-block tile counts of the BCSR that :func:`bcsr_from_coo`
+    would build — WITHOUT materializing any tiles.  Lets callers pick a
+    ``k_pack`` (:func:`choose_k_pack_counts`) before packing, so the pad
+    happens inside :func:`bcsr_from_coo` on the host instead of as a
+    multi-GB post-hoc device scatter."""
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    n_pad = ((num_nodes + block - 1) // block) * block
+    n_blocks = n_pad // block
+    keys = (r.astype(np.int64) // block) * n_blocks + s // block
+    uniq = np.unique(keys)
+    return np.bincount((uniq // n_blocks).astype(np.int64),
+                       minlength=n_blocks)
+
+
+def choose_k_pack_counts(cnt: np.ndarray, max_overhead: float = 1.2) -> int:
+    """:func:`choose_k_pack` on raw per-row-block tile counts (e.g. from
+    :func:`coo_tile_counts`)."""
+    cnt = np.asarray(cnt)
     pos = cnt[cnt > 0]
     if not pos.size:
         return 1
@@ -222,46 +286,48 @@ def choose_k_pack(m: BCSR, max_overhead: float = 1.2) -> int:
     if kp < 2:
         return 1
     padded = int(np.where(cnt == 0, kp, ((cnt + kp - 1) // kp) * kp).sum())
-    if padded > max_overhead * max(m.num_tiles, 1):
+    if padded > max_overhead * max(int(cnt.sum()), 1):
         return 1
     return kp
+
+
+def choose_k_pack(m: BCSR, max_overhead: float = 1.2) -> int:
+    """Pick a k_pack for the packed double-buffered SpMM kernel: the
+    typical (median) row-block tile count, clipped to [1, 8], if padding
+    every row to that multiple costs less than ``max_overhead`` dead
+    tiles.  Returns 1 when packing isn't worth it.  Host-side arithmetic
+    only — call :func:`bcsr_pad_rows` with the result before using
+    ``k_pack`` in ``bcsr_matvec``/``spmm_bcsr_packed``."""
+    return choose_k_pack_counts(np.diff(np.asarray(m.row_ptr)),
+                                max_overhead)
 
 
 def bcsr_pad_rows(m: BCSR, k_pack: int) -> BCSR:
     """Pad each row block's tile list with dead tiles (zero values,
     col 0) so every row's count is a multiple of ``k_pack`` — required by
     the packed SpMM kernel, which assumes one output row per grid step."""
-    row_ptr = np.asarray(m.row_ptr)
-    row_of = np.asarray(m.row_of)
-    col_blk = np.asarray(m.col_blk)
-    tiles = np.asarray(m.tiles)
-    n_blocks = m.num_row_blocks
     b = m.block
-
-    counts = np.diff(row_ptr)
-    new_counts = ((counts + k_pack - 1) // k_pack) * k_pack
-    # Rows with zero tiles stay zero EXCEPT we must ensure every row that
-    # appears keeps ordering; rows with 0 tiles simply never get visited
-    # (their output blocks are never written!) — so give empty rows one
-    # k_pack group of dead tiles to zero their output.
-    new_counts = np.where(new_counts == 0, k_pack, new_counts)
-    t_new = int(new_counts.sum())
-
-    new_tiles = np.zeros((t_new, b, b), dtype=tiles.dtype)
-    new_col = np.zeros(t_new, dtype=np.int32)
-    new_row = np.zeros(t_new, dtype=np.int32)
-    new_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
-    new_ptr[1:] = np.cumsum(new_counts)
-    for rb in range(n_blocks):
-        lo, hi = row_ptr[rb], row_ptr[rb + 1]
-        dst = new_ptr[rb]
-        cnt = hi - lo
-        if cnt > 0:
-            new_tiles[dst : dst + cnt] = tiles[lo:hi]
-            new_col[dst : dst + cnt] = col_blk[lo:hi]
-        new_row[new_ptr[rb] : new_ptr[rb + 1]] = rb
+    dst, new_col, new_row, new_ptr, t_new = _pad_rows_layout(
+        np.asarray(m.row_ptr), np.asarray(m.row_of),
+        np.asarray(m.col_blk), k_pack,
+    )
+    # tiles scatter runs wherever the tiles live: numpy stays numpy;
+    # device arrays scatter on device (a multi-GB host round trip through
+    # the transfer tunnel was measured at ~190 s for a 20k-tile powerlaw
+    # BCSR — prefer bcsr_from_coo(pad_rows_to=...) to avoid even the
+    # eager-scatter compile).
+    if isinstance(m.tiles, np.ndarray):
+        new_tiles = np.zeros((t_new, b, b), dtype=m.tiles.dtype)
+        new_tiles[dst] = m.tiles[: len(dst)]
+        new_tiles = jnp.asarray(new_tiles)
+    else:
+        new_tiles = (
+            jnp.zeros((t_new, b, b), dtype=m.tiles.dtype)
+            .at[jnp.asarray(dst)]
+            .set(m.tiles[: len(dst)])
+        )
     return BCSR(
-        tiles=jnp.asarray(new_tiles),
+        tiles=new_tiles,
         col_blk=jnp.asarray(new_col),
         row_ptr=jnp.asarray(new_ptr),
         row_of=jnp.asarray(new_row),

@@ -57,13 +57,50 @@ def _spmm_kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
     out_ref[:] += jnp.dot(tile, x, preferred_element_type=jnp.float32)
 
 
-def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
+def _spmm_kernel_cast_factory(num_tiles: int, out_dtype):
+    """Variant that accumulates in an f32 VMEM scratch and downcasts to
+    ``out_dtype`` once per row block (last tile), so a bf16 output only
+    pays bf16 HBM write traffic while keeping f32 accumulation."""
+
+    def kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref, acc):
+        t = pl.program_id(0)
+        row = row_ref[t]
+        prev_row = row_ref[jnp.maximum(t - 1, 0)]
+        is_first = jnp.logical_or(t == 0, row != prev_row)
+
+        @pl.when(is_first)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        tile = tiles_ref[0]
+        x = x_ref[:]
+        if tile.dtype != x.dtype:
+            x = x.astype(tile.dtype)
+        acc[:] += jnp.dot(tile, x, preferred_element_type=jnp.float32)
+
+        nxt = row_ref[jnp.minimum(t + 1, num_tiles - 1)]
+        is_last = jnp.logical_or(t == num_tiles - 1, nxt != row)
+
+        @pl.when(is_last)
+        def _():
+            out_ref[:] = acc[:].astype(out_dtype)
+
+    return kernel
+
+
+def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None,
+              out_dtype=None) -> jax.Array:
     """``y = A @ x`` with A in BCSR.  ``x`` must be ``[N_pad, D]`` with
     ``N_pad == m.num_nodes`` and ``D`` a multiple of 128 (pad features).
 
     Grid is one step per tile; tiles of one row block are consecutive, so
     the output block stays resident in VMEM across its accumulation
     (Pallas revisiting semantics) and spills to HBM once per row block.
+
+    ``out_dtype`` (default float32) selects the HBM output precision;
+    accumulation is always f32 on the MXU.  ``bfloat16`` halves the
+    output write traffic — and, when the result feeds the next SpMM,
+    halves that kernel's x-gather traffic too (memory-bound win).
     """
     n, d = x.shape
     assert n == m.num_nodes, (n, m.num_nodes)
@@ -72,6 +109,16 @@ def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None) -> jax.Ar
     t = m.num_tiles
     if interpret is None:
         interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    out_dtype = jnp.dtype(out_dtype)
+
+    if out_dtype == jnp.float32:
+        kernel = _spmm_kernel
+        scratch = []
+    else:
+        kernel = _spmm_kernel_cast_factory(t, out_dtype)
+        scratch = [pltpu.VMEM((b, d), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -81,15 +128,19 @@ def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None) -> jax.Ar
             pl.BlockSpec((b, d), lambda i, row, col: (col[i], 0)),
         ],
         out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i], 0)),
+        scratch_shapes=scratch,
     )
     flops = 2 * t * b * b * d
+    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    x_b = jnp.dtype(x.dtype).itemsize
     return pl.pallas_call(
-        _spmm_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=t * b * b * 4 + t * b * d * 4 + n * d * 4,
+            bytes_accessed=t * b * b * tile_b + t * b * d * x_b
+            + n * d * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -183,17 +234,75 @@ def _spmm_packed_kernel_factory(k_pack: int, block: int, d: int):
     return kernel
 
 
+def _spmm_packed_kernel_cast_factory(k_pack: int, block: int, d: int,
+                                     num_tiles: int, out_dtype):
+    """Packed kernel with f32 scratch accumulation + one ``out_dtype``
+    downcast store per row block (see :func:`_spmm_kernel_cast_factory`)."""
+
+    def kernel(row_ref, col_ref, tiles_ref, x_hbm, out_ref, xbuf, sems, acc):
+        i = pl.program_id(0)
+        base = i * k_pack
+        row = row_ref[base]
+        prev_row = row_ref[jnp.maximum(base - 1, 0)]
+        is_first = jnp.logical_or(i == 0, row != prev_row)
+
+        @pl.when(is_first)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(col_ref[base + j] * block, block), :],
+                xbuf.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < k_pack)
+            def _():
+                dma((j + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            xv = xbuf[slot]
+            if xv.dtype != tiles_ref.dtype:
+                xv = xv.astype(tiles_ref.dtype)
+            acc[:] += jnp.dot(
+                tiles_ref[j], xv, preferred_element_type=jnp.float32
+            )
+
+        jax.lax.fori_loop(0, k_pack, body, None)
+
+        nxt = row_ref[jnp.minimum(base + k_pack, num_tiles - 1)]
+        is_last = jnp.logical_or(base + k_pack >= num_tiles, nxt != row)
+
+        @pl.when(is_last)
+        def _():
+            out_ref[:] = acc[:].astype(out_dtype)
+
+    return kernel
+
+
 def spmm_bcsr_packed(
     m: BCSR,
     x: jax.Array,
     k_pack: int = 4,
     interpret: Optional[bool] = None,
+    out_dtype=None,
 ) -> jax.Array:
     """SpMM v2: ``k_pack`` tiles per grid step with double-buffered manual
     DMA of the x-blocks from HBM — amortizes per-step pipeline overhead.
 
     Requires each row block's tile count to be a multiple of ``k_pack``
-    (use :func:`tpugraph.ops.bcsr.bcsr_pad_rows`)."""
+    (use :func:`tpugraph.ops.bcsr.bcsr_pad_rows`).
+
+    ``out_dtype=bfloat16`` keeps accumulation f32 in VMEM scratch and
+    downcasts once per row block: halves output-write traffic, and lets a
+    chained consumer gather bf16 x blocks (this kernel's manual DMA buffer
+    already matches the HBM dtype of ``x``)."""
     n, d = x.shape
     assert n == m.num_nodes
     assert d % LANES == 0
@@ -202,6 +311,21 @@ def spmm_bcsr_packed(
     assert t % k_pack == 0, f"pad tiles per row to a multiple of {k_pack}"
     if interpret is None:
         interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    out_dtype = jnp.dtype(out_dtype)
+
+    scratch = [
+        # manual-DMA buffer must match the HBM source dtype (bf16 x
+        # halves the gather traffic; accumulation stays f32 via the MXU)
+        pltpu.VMEM((2, b, d), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if out_dtype == jnp.float32:
+        kernel = _spmm_packed_kernel_factory(k_pack, b, d)
+    else:
+        kernel = _spmm_packed_kernel_cast_factory(k_pack, b, d, t, out_dtype)
+        scratch.append(pltpu.VMEM((b, d), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -211,20 +335,118 @@ def spmm_bcsr_packed(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
+        scratch_shapes=scratch,
+    )
+    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    x_b = jnp.dtype(x.dtype).itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * b * d,
+            bytes_accessed=t * b * b * tile_b + t * b * d * x_b
+            + n * d * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m.row_of, m.col_blk, m.tiles, x)
+
+
+def _spmm_packed_kernel_xstep_factory(k_pack: int, block: int, d: int,
+                                      num_steps: int):
+    """Packed kernel v3: the x-block DMA ring spans GRID STEPS — at the
+    end of step ``i`` the kernel has already issued the copy for step
+    ``i+1``'s first block, so no step starts with an exposed DMA wait
+    (the BlockSpec tile stream is pipelined by Pallas; the manual x
+    gather was not)."""
+
+    def kernel(row_ref, col_ref, tiles_ref, x_hbm, out_ref, xbuf, sems):
+        i = pl.program_id(0)
+        base = i * k_pack
+        row = row_ref[base]
+        prev_row = row_ref[jnp.maximum(base - 1, 0)]
+        is_first = jnp.logical_or(i == 0, row != prev_row)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def dma(slot, tile_idx):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(col_ref[tile_idx] * block, block), :],
+                xbuf.at[slot],
+                sems.at[slot],
+            )
+
+        # Ring position is global over TILES, not per step: tile j of
+        # step i occupies slot (base + j) % 2.  Step 0 seeds the ring;
+        # every later step's first copy was issued by its predecessor.
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, _):
+            slot = (base + j) % 2
+            nxt = base + j + 1
+
+            @pl.when(nxt < num_steps * k_pack)
+            def _():
+                dma(nxt % 2, nxt).start()
+
+            dma(slot, base + j).wait()
+            xv = xbuf[slot]
+            if xv.dtype != tiles_ref.dtype:
+                xv = xv.astype(tiles_ref.dtype)
+            out_ref[:] += jnp.dot(
+                tiles_ref[j], xv, preferred_element_type=jnp.float32
+            )
+
+        jax.lax.fori_loop(0, k_pack, body, None)
+
+    return kernel
+
+
+def spmm_bcsr_packed_v3(
+    m: BCSR,
+    x: jax.Array,
+    k_pack: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`spmm_bcsr_packed` with a cross-grid-step x-DMA ring (no
+    per-step cold DMA wait).  Same layout requirements."""
+    n, d = x.shape
+    assert n == m.num_nodes
+    assert d % LANES == 0
+    b = m.block
+    t = m.num_tiles
+    assert t % k_pack == 0, f"pad tiles per row to a multiple of {k_pack}"
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    num_steps = t // k_pack
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_steps,),
+        in_specs=[
+            pl.BlockSpec((k_pack, b, b), lambda i, row, col: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
         scratch_shapes=[
-            # manual-DMA buffer must match the HBM source dtype (bf16 x
-            # halves the gather traffic; accumulation stays f32 via the MXU)
             pltpu.VMEM((2, b, d), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    x_b = jnp.dtype(x.dtype).itemsize
     return pl.pallas_call(
-        _spmm_packed_kernel_factory(k_pack, b, d),
+        _spmm_packed_kernel_xstep_factory(k_pack, b, d, num_steps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * b * b * d,
-            bytes_accessed=t * b * b * 4 + t * b * d * 4 + n * d * 4,
+            bytes_accessed=t * b * b * tile_b + t * b * d * x_b + n * d * 4,
             transcendentals=0,
         ),
         interpret=interpret,

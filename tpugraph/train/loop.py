@@ -123,23 +123,29 @@ def train_node_classifier(
         from tpugraph.nn.layers import BCSRAdj
         from tpugraph.ops.bcsr import (
             bcsr_from_coo,
-            bcsr_pad_rows,
             bcsr_transpose_host,
-            choose_k_pack,
+            choose_k_pack_counts,
+            coo_tile_counts,
         )
 
         s_np = np.asarray(g.senders)
         r_np = np.asarray(g.receivers)
         w_np = np.asarray(g.edge_weight)
-        m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
-        m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block)
         # Packed double-buffered kernel is OPT-IN here: it wins on bf16
         # tiles (+19%, bench.py) but measured SLOWER for this f32 training
         # path (33.3 vs 37.5 epochs/s at 65k/256-block) — BlockSpec
         # pipelining already saturates f32 tile bandwidth.
-        kp = choose_k_pack(m) if cfg.bcsr_k_pack < 0 else cfg.bcsr_k_pack
-        if kp > 1:
-            m, m_t = bcsr_pad_rows(m, kp), bcsr_pad_rows(m_t, kp)
+        if cfg.bcsr_k_pack < 0:
+            kp = choose_k_pack_counts(
+                coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block)
+            )
+        else:
+            kp = cfg.bcsr_k_pack
+        prt = kp if kp > 1 else None
+        m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block,
+                          pad_rows_to=prt)
+        m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
+                                  block=cfg.bcsr_block, pad_rows_to=prt)
         sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
         if m.num_nodes > n_pad:
             extra = m.num_nodes - n_pad
