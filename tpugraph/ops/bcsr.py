@@ -35,14 +35,20 @@ class BCSR:
     ``block`` are static metadata, so a BCSR can be passed straight
     through ``jit`` boundaries (do this — closing over the tile array
     bakes hundreds of MB of constants into the HLO and costs ~150x in
-    dispatch)."""
+    dispatch).
+
+    The matrix may be rectangular (``bcsr_from_coo(num_col_nodes=...)``,
+    used by the per-shard halo path whose columns span [local | halo]):
+    ``num_nodes`` is the COLUMN count (rows of ``x`` in ``A @ x``); the
+    row count is ``num_row_blocks * block``.  For the square case the
+    two coincide."""
 
     tiles: jax.Array     # float32[T, B, B]
     col_blk: jax.Array   # int32[T]
     row_ptr: jax.Array   # int32[R+1]
     row_of: jax.Array    # int32[T]
-    num_nodes: int       # padded node count (R * B)  [static]
-    block: int           # tile edge length            [static]
+    num_nodes: int       # padded COLUMN count (C * B)  [static]
+    block: int           # tile edge length             [static]
 
     @property
     def num_tiles(self) -> int:
@@ -51,6 +57,10 @@ class BCSR:
     @property
     def num_row_blocks(self) -> int:
         return self.row_ptr.shape[0] - 1
+
+    @property
+    def num_row_nodes(self) -> int:
+        return (self.row_ptr.shape[0] - 1) * self.block
 
     def __iter__(self):  # keep NamedTuple-style unpacking working
         return iter(
@@ -75,9 +85,14 @@ def bcsr_from_coo(
     pad_tiles_to: Optional[int] = None,
     tile_dtype=None,
     pad_rows_to: Optional[int] = None,
+    num_col_nodes: Optional[int] = None,
 ) -> BCSR:
     """Host-side COO -> BCSR conversion.  Convention matches
     ``ops.message.spmm``: entry (row=receiver, col=sender) = weight.
+
+    ``num_col_nodes`` makes the matrix rectangular: receivers (rows) live
+    in ``[0, num_nodes)``, senders (columns, i.e. rows of ``x``) in
+    ``[0, num_col_nodes)``.  Default: square.
 
     ``tile_dtype`` (e.g. ``jnp.bfloat16``) casts the packed tiles on the
     HOST before the device upload — at 20k+ 256-square tiles the f32
@@ -91,6 +106,11 @@ def bcsr_from_coo(
     :func:`bcsr_pad_rows` on a device-resident BCSR costs a fresh
     eager-scatter compile (or, worse, a multi-GB host round trip)."""
     def _finalize(tiles_np, col_blk, row_of, row_ptr):
+        # cast to the compact dtype FIRST, pad second: the padded copy is
+        # then allocated at the compact size (a 20k-tile f32 intermediate
+        # is ~5 GB; bf16 halves it)
+        if tile_dtype is not None:
+            tiles_np = tiles_np.astype(jnp.dtype(tile_dtype))
         counts = np.diff(row_ptr)
         k = pad_rows_to or 1
         if k > 1 or np.any(counts == 0):
@@ -102,14 +122,12 @@ def bcsr_from_coo(
                               dtype=tiles_np.dtype)
             padded[dst] = tiles_np[: len(dst)]
             tiles_np = padded
-        if tile_dtype is not None:
-            tiles_np = tiles_np.astype(jnp.dtype(tile_dtype))
         return BCSR(
             tiles=jnp.asarray(tiles_np),
             col_blk=jnp.asarray(col_blk),
             row_ptr=jnp.asarray(row_ptr),
             row_of=jnp.asarray(row_of),
-            num_nodes=n_pad,
+            num_nodes=n_pad_c,
             block=block,
         )
 
@@ -119,27 +137,33 @@ def bcsr_from_coo(
     live = weights != 0
     s, r, w = senders[live], receivers[live], weights[live]
 
-    n_pad = ((num_nodes + block - 1) // block) * block
-    n_blocks = n_pad // block
+    n_pad_r = ((num_nodes + block - 1) // block) * block
+    n_pad_c = ((
+        (num_col_nodes if num_col_nodes is not None else num_nodes)
+        + block - 1
+    ) // block) * block
+    n_rb = n_pad_r // block
+    n_cb = n_pad_c // block
 
     # Fast path: native C++ tile packer (tpugraph.native), ~100x the
-    # Python loop below on million-edge graphs.
-    try:
-        from tpugraph import native
+    # Python loop below on million-edge graphs (square matrices only).
+    if n_pad_r == n_pad_c:
+        try:
+            from tpugraph import native
 
-        if native.native_available():
-            tiles, col_blk, row_of, row_ptr, _ = native.bcsr_pack(
-                r, s, w, n_pad, block, pad_tiles_to
-            )
-            return _finalize(tiles, col_blk, row_of, row_ptr)
-    except ValueError:
-        raise
-    except Exception:
-        pass  # fall through to the NumPy implementation
+            if native.native_available():
+                tiles, col_blk, row_of, row_ptr, _ = native.bcsr_pack(
+                    r, s, w, n_pad_r, block, pad_tiles_to
+                )
+                return _finalize(tiles, col_blk, row_of, row_ptr)
+        except ValueError:
+            raise
+        except Exception:
+            pass  # fall through to the NumPy implementation
 
     rb = r // block
     cb = s // block
-    keys = rb.astype(np.int64) * n_blocks + cb
+    keys = rb.astype(np.int64) * n_cb + cb
     order = np.argsort(keys, kind="stable")
     s, r, w, keys = s[order], r[order], w[order], keys[order]
     uniq, start_idx = np.unique(keys, return_index=True)
@@ -155,8 +179,8 @@ def bcsr_from_coo(
     bounds = np.append(start_idx, len(keys))
     for ti in range(t):
         lo, hi = bounds[ti], bounds[ti + 1]
-        rbi = int(uniq[ti] // n_blocks)
-        cbi = int(uniq[ti] % n_blocks)
+        rbi = int(uniq[ti] // n_cb)
+        cbi = int(uniq[ti] % n_cb)
         rows = r[lo:hi] - rbi * block
         cols = s[lo:hi] - cbi * block
         np.add.at(tiles[ti], (rows, cols), w[lo:hi])
@@ -165,13 +189,13 @@ def bcsr_from_coo(
     # padding tiles: zero values, point at block 0 of the LAST row so the
     # sequential-accumulation kernel sees them after all real rows.
     if t_pad > t:
-        row_of[t:] = n_blocks - 1
+        row_of[t:] = n_rb - 1
         col_blk[t:] = 0
 
-    row_ptr = np.zeros((n_blocks + 1,), dtype=np.int32)
-    counts = np.bincount(row_of[:t], minlength=n_blocks)
+    row_ptr = np.zeros((n_rb + 1,), dtype=np.int32)
+    counts = np.bincount(row_of[:t], minlength=n_rb)
     # padding tiles belong to the last row for pointer purposes
-    counts[n_blocks - 1] += t_pad - t
+    counts[n_rb - 1] += t_pad - t
     row_ptr[1:] = np.cumsum(counts)
 
     return _finalize(tiles, col_blk, row_of, row_ptr)
@@ -221,16 +245,6 @@ def bcsr_transpose_host(
     )
 
 
-def _ensure_no_empty_rows(m: BCSR, counts: np.ndarray) -> BCSR:
-    """The tile-walking SpMM kernel only writes output blocks visited by
-    at least one tile; a row block with zero tiles would leave its output
-    uninitialized.  Insert one dead tile (zero values, col 0) per empty
-    row block."""
-    if not np.any(np.asarray(counts) == 0):
-        return m
-    return bcsr_pad_rows(m, 1)
-
-
 def _pad_rows_layout(row_ptr: np.ndarray, row_of: np.ndarray,
                      col_blk: np.ndarray, k_pack: int):
     """Vectorized host-side layout for row padding: returns
@@ -254,19 +268,63 @@ def _pad_rows_layout(row_ptr: np.ndarray, row_of: np.ndarray,
     return dst, new_col, new_row, new_ptr, t_new
 
 
+def bcsr_pad_tiles(m: BCSR, t_pad: int) -> BCSR:
+    """Append dead tiles (zero values, col 0, last row block) so
+    ``num_tiles == t_pad`` — used to equalize tile counts across stacked
+    per-device BCSRs (halo path).  Host-side arrays preferred."""
+    t = m.num_tiles
+    if t_pad < t:
+        raise ValueError(f"tile budget too small: {t} > {t_pad}")
+    if t_pad == t:
+        return m
+    extra = t_pad - t
+    b = m.block
+    n_rb = m.num_row_blocks
+    tiles = np.concatenate(
+        [np.asarray(m.tiles),
+         np.zeros((extra, b, b), dtype=np.asarray(m.tiles).dtype)]
+    )
+    col_blk = np.concatenate(
+        [np.asarray(m.col_blk), np.zeros(extra, np.int32)]
+    )
+    row_of = np.concatenate(
+        [np.asarray(m.row_of),
+         np.full(extra, n_rb - 1, np.int32)]
+    )
+    row_ptr = np.asarray(m.row_ptr).copy()
+    row_ptr[n_rb] += extra
+    return BCSR(
+        tiles=jnp.asarray(tiles),
+        col_blk=jnp.asarray(col_blk),
+        row_ptr=jnp.asarray(row_ptr),
+        row_of=jnp.asarray(row_of),
+        num_nodes=m.num_nodes,
+        block=m.block,
+    )
+
+
 def coo_tile_counts(
     senders: np.ndarray,
     receivers: np.ndarray,
     num_nodes: int,
     block: int = 128,
+    weights: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-row-block tile counts of the BCSR that :func:`bcsr_from_coo`
     would build — WITHOUT materializing any tiles.  Lets callers pick a
     ``k_pack`` (:func:`choose_k_pack_counts`) before packing, so the pad
     happens inside :func:`bcsr_from_coo` on the host instead of as a
-    multi-GB post-hoc device scatter."""
+    multi-GB post-hoc device scatter.
+
+    Pass ``weights`` when the edge list carries zero-weight padding
+    edges (``core.graph`` convention): :func:`bcsr_from_coo` drops them
+    before packing, so counting them here would include phantom tiles
+    (typically pointing at node 0) that the packer discards."""
     s = np.asarray(senders)
     r = np.asarray(receivers)
+    if weights is not None:
+        live = np.asarray(weights) != 0
+        s, r = s[live], r[live]
     n_pad = ((num_nodes + block - 1) // block) * block
     n_blocks = n_pad // block
     keys = (r.astype(np.int64) // block) * n_blocks + s // block
@@ -445,10 +503,9 @@ def bcsr_sym_partner(m: BCSR) -> np.ndarray:
 
 
 def bcsr_to_dense(m: BCSR) -> np.ndarray:
-    """Densify (testing only)."""
-    n = m.num_nodes
+    """Densify (testing only).  Shape [rows, cols] (rect-aware)."""
     b = m.block
-    out = np.zeros((n, n), dtype=np.float32)
+    out = np.zeros((m.num_row_nodes, m.num_nodes), dtype=np.float32)
     tiles = np.asarray(m.tiles)
     col = np.asarray(m.col_blk)
     row = np.asarray(m.row_of)

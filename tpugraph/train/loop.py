@@ -137,7 +137,8 @@ def train_node_classifier(
         # pipelining already saturates f32 tile bandwidth.
         if cfg.bcsr_k_pack < 0:
             kp = choose_k_pack_counts(
-                coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block)
+                coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block,
+                                weights=w_np)
             )
         else:
             kp = cfg.bcsr_k_pack
