@@ -267,6 +267,92 @@ def test_halo_gat_matches_sparse(rng, mesh8):
                                atol=1e-4)
 
 
+def test_halo_bcsr_training_matches_single_device(rng, mesh8):
+    """Multi-layer GcnEncoderNode trains node-partitioned with the
+    per-shard Pallas BCSR halo path (rect BCSR over [local | halo]
+    columns); loss trajectory matches single-device (VERDICT r2 item 3
+    done criterion)."""
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.nn.losses import node_cross_entropy
+    from tpugraph.parallel.spmd import (
+        build_halo_bcsr,
+        build_halo_plan,
+        make_halo_bcsr_forward,
+        make_halo_bcsr_train_step,
+    )
+
+    n = 96
+    a = (rng.random((n, n)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    bplan = build_halo_bcsr(plan, 8, block=8)
+    n_total = plan.shard_size * 8
+    assert n_total == g.num_nodes_padded == n
+
+    d, c = 6, 3
+    x = jnp.asarray(rng.standard_normal((n_total, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n_total).astype(np.int32))
+    mask = jnp.asarray((np.arange(n_total) < n).astype(np.float32))
+
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=c, num_layers=3)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params0 = model.init(jax.random.PRNGKey(0), x, sp)
+    tx = optax.adam(1e-2)
+
+    @jax.jit
+    def ref_step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, sp)
+            return node_cross_entropy(logits, y, node_mask=mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state = params0, tx.init(params0)
+    ref_losses = []
+    for _ in range(5):
+        params, opt_state, loss = ref_step(params, opt_state)
+        ref_losses.append(float(loss))
+
+    step = make_halo_bcsr_train_step(model, tx, mesh8)
+    params_h, opt_h = params0, tx.init(params0)
+    bcsr_losses = []
+    for _ in range(5):
+        params_h, opt_h, loss = step(params_h, opt_h, bplan, x, y, mask)
+        bcsr_losses.append(float(loss))
+
+    np.testing.assert_allclose(bcsr_losses, ref_losses, rtol=2e-4, atol=2e-5)
+
+    fwd = make_halo_bcsr_forward(model, mesh8)
+    logits_h = np.asarray(fwd(params_h, bplan, x))
+    logits_ref, _ = model.apply(params, x, sp)
+    np.testing.assert_allclose(logits_h, np.asarray(logits_ref), atol=5e-4)
+
+
+def test_bcsr_rectangular_spmm(rng):
+    """Rect BCSR (num_col_nodes != num_nodes) matches dense on both the
+    plain and packed kernels."""
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_to_dense
+    from tpugraph.ops.pallas_spmm import spmm_bcsr
+
+    n_r, n_c = 40, 90
+    rows = rng.integers(0, n_r, 300).astype(np.int32)
+    cols = rng.integers(0, n_c, 300).astype(np.int32)
+    w = rng.standard_normal(300).astype(np.float32)
+    m = bcsr_from_coo(cols, rows, w, n_r, block=16, num_col_nodes=n_c)
+    dense = np.zeros((m.num_row_nodes, m.num_nodes), np.float32)
+    np.add.at(dense, (rows, cols), w)
+    np.testing.assert_allclose(bcsr_to_dense(m), dense, atol=1e-5)
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    y = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, dense @ x, atol=1e-3, rtol=1e-4)
+
+
 def test_2d_mesh_dcn_data_spmm(rng):
     """Edge-partitioned SpMM over a 2-D ("dcn", "data") mesh — the
     multi-host mesh shape (VERDICT r1 item 5)."""

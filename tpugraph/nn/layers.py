@@ -108,7 +108,36 @@ jax.tree_util.register_dataclass(
 )
 
 
-Adjacency = Union[jax.Array, SparseAdj, BCSRAdj, HaloAdj]
+@_dataclasses.dataclass
+class HaloBCSRAdj:
+    """Per-device view of a node-partitioned adjacency whose local edges
+    are packed as a rectangular BCSR over ``[local | halo]`` columns —
+    the composition of the Pallas MXU kernel with the halo-exchange
+    multi-chip path (VERDICT r2 item 3).
+
+    Used INSIDE ``shard_map`` like :class:`HaloAdj`: the layer sends the
+    boundary features peers need (``all_to_all`` over ICI), concatenates
+    ``[x_local | halo]``, and aggregates with the block-sparse Pallas
+    SpMM instead of ``segment_sum`` — so sharded training runs at kernel
+    speed, not COO speed.  Build with
+    ``tpugraph.parallel.spmd.build_halo_bcsr`` (host-side; stacks
+    per-device BCSRs over the mesh axis).
+    """
+
+    send_idx: jax.Array  # int32[n_dev, H] — my nodes each peer needs
+    m: "object"          # BCSR of local edges: rows=[Ns], cols=[Ns+halo]
+    m_t: "object"        # BCSR of the transpose (backward dx)
+    axis: str = "data"   # mesh axis name (static)
+
+
+jax.tree_util.register_dataclass(
+    HaloBCSRAdj,
+    data_fields=["send_idx", "m", "m_t"],
+    meta_fields=["axis"],
+)
+
+
+Adjacency = Union[jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj]
 
 
 class GraphConv(nn.Module):
@@ -198,6 +227,29 @@ class GraphConv(nn.Module):
                     adj.m, adj.m_t, x_p, k_pack=adj.k_pack or None
                 )[:, :d_in]
                 adj_att = adj
+        elif isinstance(adj, HaloBCSRAdj):
+            # Boundary-only halo exchange + per-shard Pallas BCSR SpMM:
+            # the multi-chip path at MXU-kernel speed (one all_to_all of
+            # boundary features per layer, then a rectangular block-sparse
+            # aggregation over [local | halo] columns).
+            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+
+            if self.att:
+                raise NotImplementedError(
+                    "GAT on the BCSR-halo path is not supported; use "
+                    "HaloAdj for attention models"
+                )
+            ns, d_in = x.shape
+            send_buf = x[adj.send_idx]  # [n_dev, H, D]
+            halo = jax.lax.all_to_all(
+                send_buf, adj.axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            xx = jnp.concatenate([x, halo.reshape(-1, d_in)], axis=0)
+            d_pad = ((d_in + LANES - 1) // LANES) * LANES
+            col_pad = adj.m.num_nodes - xx.shape[0]
+            xx = jnp.pad(xx, ((0, col_pad), (0, d_pad - d_in)))
+            y = bcsr_matvec(adj.m, adj.m_t, xx)[:ns, :d_in]
+            adj_att = adj
         elif isinstance(adj, HaloAdj):
             # Boundary-only halo exchange, then local aggregation — one
             # all_to_all over ICI per layer; features stay node-sharded.

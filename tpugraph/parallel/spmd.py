@@ -264,6 +264,159 @@ def build_halo_plan(g: Graph, n_dev: int) -> HaloPlan:
     )
 
 
+class HaloBCSRPlan(NamedTuple):
+    """Host-precomputed halo plan whose per-device edge shards are packed
+    as rectangular BCSRs over ``[local | halo]`` columns (stacked over a
+    leading device axis), composing the Pallas SpMM with the multi-chip
+    halo path.  ``m``/``m_t`` are :class:`tpugraph.ops.bcsr.BCSR` pytrees
+    whose array leaves carry a leading ``[n_dev]`` axis."""
+
+    send_idx: jax.Array  # int32[n_dev, n_dev, H]
+    m: object            # stacked BCSR  (rows=[Ns_pad], cols=[Ns+halo pad])
+    m_t: object          # stacked BCSR of the transpose
+    shard_size: int
+    halo_size: int
+
+
+def build_halo_bcsr(plan: HaloPlan, n_dev: int, block: int = 128,
+                    tile_dtype=None) -> HaloBCSRPlan:
+    """Pack each device's receiver-local edges (from
+    :func:`build_halo_plan`) into a rectangular BCSR over
+    ``[local | halo]`` columns, plus its transpose for the backward pass.
+    All devices pad to the max tile count so the stacked arrays are
+    rectangular and shard cleanly over the mesh axis."""
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_pad_tiles
+
+    ns, h = plan.shard_size, plan.halo_size
+    n_col = ns + n_dev * h
+    ss = np.asarray(plan.sender_slot)
+    rr = np.asarray(plan.receivers_local)
+    ww = np.asarray(plan.weights)
+
+    ms, mts = [], []
+    for d in range(n_dev):
+        ms.append(bcsr_from_coo(
+            ss[d], rr[d], ww[d], ns, block=block, num_col_nodes=n_col,
+            tile_dtype=tile_dtype,
+        ))
+        mts.append(bcsr_from_coo(
+            rr[d], ss[d], ww[d], n_col, block=block, num_col_nodes=ns,
+            tile_dtype=tile_dtype,
+        ))
+    t_max = max(m.num_tiles for m in ms)
+    tt_max = max(m.num_tiles for m in mts)
+    ms = [bcsr_pad_tiles(m, t_max) for m in ms]
+    mts = [bcsr_pad_tiles(m, tt_max) for m in mts]
+
+    def stack(lst):
+        import dataclasses
+
+        return dataclasses.replace(
+            lst[0],
+            tiles=jnp.stack([m.tiles for m in lst]),
+            col_blk=jnp.stack([m.col_blk for m in lst]),
+            row_ptr=jnp.stack([m.row_ptr for m in lst]),
+            row_of=jnp.stack([m.row_of for m in lst]),
+        )
+
+    return HaloBCSRPlan(
+        send_idx=plan.send_idx,
+        m=stack(ms),
+        m_t=stack(mts),
+        shard_size=ns,
+        halo_size=h,
+    )
+
+
+def _bcsr_slice0(m):
+    """Strip the leading length-1 device axis shard_map leaves on each
+    array of a stacked BCSR."""
+    import dataclasses
+
+    return dataclasses.replace(
+        m, tiles=m.tiles[0], col_blk=m.col_blk[0], row_ptr=m.row_ptr[0],
+        row_of=m.row_of[0],
+    )
+
+
+def make_halo_bcsr_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "data",
+    class_weight: Optional[jax.Array] = None,
+):
+    """Node-partitioned full-batch training where each layer's halo
+    aggregation runs on the per-shard Pallas BCSR kernel
+    (:class:`tpugraph.nn.layers.HaloBCSRAdj`) instead of COO
+    ``segment_sum`` — the multi-chip story at kernel speed (VERDICT r2
+    item 3).  Same contract as :func:`make_halo_node_train_step`; pass a
+    :class:`HaloBCSRPlan`."""
+
+    def local_step(params, opt_state, send_idx, m, m_t, x, y, mask):
+        from tpugraph.nn.layers import HaloBCSRAdj
+
+        adj = HaloBCSRAdj(send_idx[0], _bcsr_slice0(m), _bcsr_slice0(m_t),
+                          axis)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, adj)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+            wts = class_weight[y] if class_weight is not None \
+                else jnp.ones_like(nll)
+            wts = wts * mask
+            num = jax.lax.psum(jnp.sum(nll * wts), axis)
+            den = jax.lax.psum(jnp.sum(wts), axis)
+            return num / jnp.maximum(den, 1e-12)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P(axis),) * 6,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, plan: HaloBCSRPlan, x, y, train_mask):
+        return sharded(params, opt_state, plan.send_idx, plan.m, plan.m_t,
+                       x, y, train_mask)
+
+    return jax.jit(step)
+
+
+def make_halo_bcsr_forward(model, mesh: Mesh, axis: str = "data"):
+    """Node-sharded forward on the BCSR-halo path (companion to
+    :func:`make_halo_bcsr_train_step`)."""
+
+    def local_fwd(params, send_idx, m, m_t, x):
+        from tpugraph.nn.layers import HaloBCSRAdj
+
+        adj = HaloBCSRAdj(send_idx[0], _bcsr_slice0(m), _bcsr_slice0(m_t),
+                          axis)
+        logits, _ = model.apply(params, x, adj)
+        return logits
+
+    sharded = shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 4,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def fwd(params, plan: HaloBCSRPlan, x):
+        return sharded(params, plan.send_idx, plan.m, plan.m_t, x)
+
+    return jax.jit(fwd)
+
+
 def sharded_spmm_halo(mesh: Mesh, axis: str = "data") -> Callable:
     """Node-partitioned SpMM with boundary-only halo exchange.
 
