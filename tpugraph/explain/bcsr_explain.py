@@ -71,19 +71,34 @@ def masked_tiles(
     sym_partner: jax.Array,
     state: BCSRMaskState,
     cfg: ExplainConfig,
-) -> Tuple[jax.Array, jax.Array]:
-    """``(W, gate)``: masked tile values and the symmetric gate.
+    node_keep: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """``(W, gate, keep)``: masked tile values, the symmetric gate, and
+    the per-tile support restriction (None when unrestricted).
 
     ``W = base * act(sym(L)) * (1 - I)`` — reference ``_masked_adj``
     (``explain.py:665-678``) in block-sparse form.  The diagonal zeroing
     only applies inside diagonal tiles (row block == col block).
+
+    ``node_keep`` (float[N] 0/1) restricts the support to the query's
+    k-hop subgraph WITHOUT repacking: an edge survives iff both
+    endpoints are kept (the reference's ``adj[neighbors][:, neighbors]``
+    slice, ``explain.py:492-501``), expressed per tile as the outer
+    product of the row-block and col-block node-mask slices.  This is
+    what lets a single cached full-graph BCSR serve every query.
     """
     L = state.tile_logits
     sym = 0.5 * (L + jnp.transpose(L[sym_partner], (0, 2, 1)))
     gate = _act(sym, cfg.mask_act)
     is_diag_tile = (base.row_of == base.col_blk)[:, None, None]
     offdiag = 1.0 - is_diag_tile * jnp.eye(base.block, dtype=gate.dtype)
-    return base.tiles * gate * offdiag, gate
+    w = base.tiles * gate * offdiag
+    keep = None
+    if node_keep is not None:
+        nm = node_keep.astype(w.dtype).reshape(-1, base.block)
+        keep = nm[base.row_of][:, :, None] * nm[base.col_blk][:, None, :]
+        w = w * keep
+    return w, gate, keep
 
 
 def bcsr_mask_density(base: BCSR, w_tiles: jax.Array) -> jax.Array:
@@ -102,6 +117,7 @@ def bcsr_explain_loss(
     pred_label_vec: jax.Array,
     num_sub_nodes: jax.Array,
     graph_mode: bool = False,
+    keep: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """The 5-term objective in tile space (reference ``explain.py:740-820``).
 
@@ -110,6 +126,8 @@ def bcsr_explain_loss(
     pred_loss = -jnp.log(probs[gt_label] + 1e-12)
 
     support = (base.tiles != 0).astype(jnp.float32)
+    if keep is not None:
+        support = support * keep
     size_loss = cfg.coeff_size * jnp.sum(gate * support)
     n2 = jnp.maximum(num_sub_nodes.astype(jnp.float32) ** 2, 1.0)
     mask_ent_loss = cfg.coeff_ent * jnp.sum(_binary_ent(gate) * support) / n2
@@ -163,6 +181,7 @@ def run_bcsr_mask_optimization(
     cfg: ExplainConfig,
     graph_mode: bool = False,
     spmm_dtype=None,
+    node_keep: Optional[jax.Array] = None,
 ) -> Tuple[BCSRMaskState, jax.Array, Dict[str, jax.Array]]:
     """Full mask optimization as one ``lax.scan`` on the BCSR fast path.
 
@@ -183,7 +202,8 @@ def run_bcsr_mask_optimization(
     opt_state = tx.init(state)
 
     def loss_fn(s):
-        w_tiles, gate = masked_tiles(base, sym_partner, s, cfg)
+        w_tiles, gate, keep = masked_tiles(base, sym_partner, s, cfg,
+                                           node_keep)
         xx = x
         if cfg.mask_features:
             feat_gate = (
@@ -210,7 +230,7 @@ def run_bcsr_mask_optimization(
             probs = jax.nn.softmax(ypred[node_idx])
         total, terms = bcsr_explain_loss(
             probs, w_tiles, gate, base, s, cfg, gt_label, pred_label_vec,
-            num_sub_nodes, graph_mode=graph_mode,
+            num_sub_nodes, graph_mode=graph_mode, keep=keep,
         )
         # density from the already-materialized masked tiles — a separate
         # post-update masked_tiles() would re-touch the [T, B, B] buffers
@@ -228,7 +248,7 @@ def run_bcsr_mask_optimization(
     (state, _), history = jax.lax.scan(
         step, (state, opt_state), None, length=cfg.num_epochs
     )
-    w_tiles, _ = masked_tiles(base, sym_partner, state, cfg)
+    w_tiles, _, _ = masked_tiles(base, sym_partner, state, cfg, node_keep)
     return state, w_tiles, history
 
 

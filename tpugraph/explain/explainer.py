@@ -105,6 +105,7 @@ class Explainer:
         # built once and reused, so repeated explain calls neither retrace
         # nor re-bake arrays as HLO constants (params/g/x are arguments).
         self._batch_run_cache: Dict = {}
+        self._bcsr_pack_cache: Dict = {}
         self._graph_run = None
 
     # ---------------------------------------------------------------- utils
@@ -257,28 +258,16 @@ class Explainer:
             )
         return results
 
-    def explain_node_bcsr(
-        self,
-        node_idx: int,
-        graph_idx: int = 0,
-        block: int = 128,
-        restrict_khop: bool = True,
-    ) -> Dict:
-        """Single-query explanation on the Pallas BCSR fast path.
-
-        Complements :meth:`explain_nodes_batch`: the vmapped COO path wins
-        for many small k-hop queries; this tile-space path wins when the
-        computation graph itself is huge (1e5+ nodes) — the mask gradient
-        is an on-support SDDMM on the MXU instead of a segment_sum
-        scatter (~64x measured, BENCH_r01).  ``restrict_khop=False``
-        optimizes the mask over the entire graph (an L-layer GCN's
-        receptive field bounds what matters; useful for whole-graph
-        benching).  Same return contract as an ``explain_nodes_batch``
-        element."""
-        from tpugraph.explain.bcsr_explain import (
-            run_bcsr_mask_optimization,
-            tiles_to_edge_weights,
-        )
+    def _bcsr_pack(self, graph_idx: int, block: int):
+        """Cached full-graph BCSR pack (+ transpose plan, sym partner,
+        padded features/pred labels) per (graph_idx, block).  Packed ONCE
+        and shared by every query — per-query k-hop restriction happens
+        on device via a node mask (``bcsr_explain.masked_tiles``), so no
+        repacking or re-upload ever happens inside a query."""
+        key = (int(graph_idx), int(block))
+        hit = self._bcsr_pack_cache.get(key)
+        if hit is not None:
+            return hit
         from tpugraph.ops.bcsr import (
             bcsr_from_coo,
             bcsr_sym_partner,
@@ -289,61 +278,170 @@ class Explainer:
         s = np.asarray(g.senders)
         r = np.asarray(g.receivers)
         w = np.asarray(g.edge_weight)
-        if restrict_khop:
-            nb = _khop_batch(
-                g, jnp.asarray([node_idx], dtype=jnp.int32), self.n_hops
-            )
-            node_keep = np.asarray(nb.node_mask[0])
-            w_eff = w * np.asarray(nb.edge_mask[0])
-            num_sub = int(nb.num_nodes[0])
-            new_index = int(nb.new_index[0])
-        else:
-            node_keep = np.asarray(g.node_mask)
-            w_eff = w
-            num_sub = int(g.n_node)
-            new_index = int(node_idx)
-
-        m = bcsr_from_coo(s, r, w_eff, g.num_nodes_padded, block=block)
+        m = bcsr_from_coo(s, r, w, g.num_nodes_padded, block=block)
         tp = bcsr_transpose_plan(m)
         partner = jnp.asarray(bcsr_sym_partner(m))
         x = np.zeros((m.num_nodes, self.feat.shape[-1]), dtype=np.float32)
         x[: self.feat.shape[1]] = self.feat[graph_idx]
         pred_vec = np.zeros((m.num_nodes,), dtype=np.int32)
-        pl = np.argmax(self.pred[graph_idx], axis=-1)
-        pred_vec[: pl.shape[0]] = pl
-        gt = int(self.label[graph_idx][node_idx])
+        if not self.graph_mode:
+            # per-node predicted labels feed the Laplacian term; graph
+            # mode has no lap loss (reference explain.py:234-236)
+            pl = np.argmax(self.pred[graph_idx], axis=-1)
+            pred_vec[: pl.shape[0]] = pl
+        hit = (g, m, tp, partner, jnp.asarray(x), jnp.asarray(pred_vec))
+        self._bcsr_pack_cache[key] = hit
+        return hit
 
-        if not hasattr(self, "_bcsr_run") or self._bcsr_run is None:
-            cfg = self.cfg
-            model_apply = self._model_apply
+    def _bcsr_runner(self, graph_mode: bool):
+        """Jitted single-query tile-space runner (cached; all tensors are
+        arguments so repeated queries reuse one executable)."""
+        key = ("bcsr_run", bool(graph_mode))
+        fn = self._batch_run_cache.get(key)
+        if fn is not None:
+            return fn
+        from tpugraph.explain.bcsr_explain import run_bcsr_mask_optimization
 
-            def run_one(params, m, tp, partner, x, ni, gt, pv, ns, key):
-                return run_bcsr_mask_optimization(
-                    model_apply, params, m, tp, partner, x,
-                    node_idx=ni, gt_label=gt, pred_label_vec=pv,
-                    num_sub_nodes=ns, key=key, cfg=cfg,
-                )
+        cfg = self.cfg
+        model_apply = self._model_apply
 
-            self._bcsr_run = jax.jit(run_one)
+        def run_one(params, m, tp, partner, x, ni, gt, pv, ns, keep, key):
+            return run_bcsr_mask_optimization(
+                model_apply, params, m, tp, partner, x,
+                node_idx=ni, gt_label=gt, pred_label_vec=pv,
+                num_sub_nodes=ns, key=key, cfg=cfg,
+                graph_mode=graph_mode, node_keep=keep,
+            )
 
+        fn = jax.jit(run_one)
+        self._batch_run_cache[key] = fn
+        return fn
+
+    def explain_node_bcsr(
+        self,
+        node_idx: int,
+        graph_idx: int = 0,
+        block: int = 128,
+        restrict_khop: bool = True,
+    ) -> Dict:
+        """Single-query explanation on the Pallas BCSR fast path (see
+        :meth:`explain_nodes_bcsr`)."""
+        return self.explain_nodes_bcsr(
+            [node_idx], graph_idx=graph_idx, block=block,
+            restrict_khop=restrict_khop,
+        )[0]
+
+    def explain_nodes_bcsr(
+        self,
+        node_indices: Sequence[int],
+        graph_idx: int = 0,
+        block: int = 128,
+        restrict_khop: bool = True,
+    ) -> List[Dict]:
+        """Multi-query explanation on the Pallas BCSR fast path.
+
+        Complements :meth:`explain_nodes_batch`: the vmapped COO path wins
+        for many small k-hop queries; this tile-space path wins when the
+        computation graph itself is huge (1e5+ nodes) — the mask gradient
+        is an on-support SDDMM on the MXU instead of a segment_sum
+        scatter (~64x measured, BENCH_r01).
+
+        The BCSR pack/upload and the jitted executable are cached and
+        shared across ALL queries (``_bcsr_pack`` / ``_bcsr_runner``);
+        each query's k-hop restriction is a node mask applied on device,
+        so per-query cost is pure optimization time and multi-query
+        throughput scales linearly.  ``restrict_khop=False`` optimizes
+        every mask over the entire graph.  Same per-element return
+        contract as :meth:`explain_nodes_batch`."""
+        from tpugraph.explain.bcsr_explain import tiles_to_edge_weights
+
+        g, m, tp, partner, x, pred_vec = self._bcsr_pack(graph_idx, block)
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        run_one = self._bcsr_runner(graph_mode=False)
+        labels = self.label[graph_idx]
+
+        if restrict_khop:
+            nb = _khop_batch(
+                g, jnp.asarray(node_indices, dtype=jnp.int32), self.n_hops
+            )
+            node_keep_all = np.asarray(nb.node_mask).astype(np.float32)
+            num_sub_all = np.asarray(nb.num_nodes)
+            new_index_all = np.asarray(nb.new_index)
+        else:
+            node_keep_all = np.tile(
+                np.asarray(g.node_mask, dtype=np.float32)[None],
+                (len(node_indices), 1),
+            )
+            num_sub_all = np.full(len(node_indices), int(g.n_node))
+            new_index_all = np.asarray(node_indices)
+        if node_keep_all.shape[1] < m.num_nodes:
+            node_keep_all = np.pad(
+                node_keep_all,
+                ((0, 0), (0, m.num_nodes - node_keep_all.shape[1])),
+            )
+
+        results = []
         t0 = time.time()
-        state, w_tiles, hist = self._bcsr_run(
-            self.params, m, tp, partner, jnp.asarray(x),
-            jnp.asarray(node_idx, jnp.int32), jnp.asarray(gt, jnp.int32),
-            jnp.asarray(pred_vec), jnp.asarray(num_sub, jnp.int32),
-            jax.random.PRNGKey(self.seed),
-        )
-        w_edges = tiles_to_edge_weights(m, np.asarray(w_tiles), s, r)
+        for q, node_idx in enumerate(node_indices):
+            state, w_tiles, hist = run_one(
+                self.params, m, tp, partner, x,
+                jnp.asarray(node_idx, jnp.int32),
+                jnp.asarray(int(labels[node_idx]), jnp.int32),
+                pred_vec,
+                jnp.asarray(int(num_sub_all[q]), jnp.int32),
+                jnp.asarray(node_keep_all[q]),
+                jax.random.PRNGKey(self.seed),
+            )
+            w_edges = tiles_to_edge_weights(m, np.asarray(w_tiles), s, r)
+            neighbors = np.nonzero(node_keep_all[q])[0]
+            results.append(
+                {
+                    "node_idx": int(node_idx),
+                    "node_idx_new": int(new_index_all[q]),
+                    "neighbors": neighbors,
+                    "masked_adj": self._densify_mask(g, w_edges, neighbors),
+                    "history": {k: np.asarray(v) for k, v in hist.items()},
+                    "feat_mask": np.asarray(
+                        jax.nn.sigmoid(state.feat_logits)
+                    ),
+                }
+            )
         if self.print_training:
             print(
-                f"bcsr-explained node {node_idx} "
-                f"({m.num_tiles} tiles of {block}^2) in "
+                f"bcsr-explained {len(node_indices)} nodes "
+                f"({m.num_tiles} tiles of {block}^2, shared pack) in "
                 f"{time.time() - t0:.2f}s"
             )
+        return results
+
+    def explain_graph_bcsr(self, graph_idx: int, block: int = 128) -> Dict:
+        """Whole-graph explanation (``graph_mode``) on the BCSR path —
+        the mask covers every edge of graph ``graph_idx`` and the
+        prediction loss reads the graph-level logits (reference
+        ``explain.py:80-85, 710-711``)."""
+        from tpugraph.explain.bcsr_explain import tiles_to_edge_weights
+
+        g, m, tp, partner, x, pred_vec = self._bcsr_pack(graph_idx, block)
+        run_one = self._bcsr_runner(graph_mode=True)
+        node_keep = np.zeros((m.num_nodes,), np.float32)
+        node_keep[: g.node_mask.shape[0]] = np.asarray(g.node_mask)
+        lab = self.label[graph_idx]
+        gt = int(lab) if np.ndim(lab) == 0 else int(np.asarray(lab).flat[0])
+        state, w_tiles, hist = run_one(
+            self.params, m, tp, partner, x,
+            jnp.asarray(0, jnp.int32), jnp.asarray(gt, jnp.int32),
+            pred_vec, jnp.asarray(int(g.n_node), jnp.int32),
+            jnp.asarray(node_keep), jax.random.PRNGKey(self.seed),
+        )
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        w_edges = tiles_to_edge_weights(m, np.asarray(w_tiles), s, r)
         neighbors = np.nonzero(node_keep)[0]
         return {
-            "node_idx": int(node_idx),
-            "node_idx_new": new_index,
+            "graph_idx": int(graph_idx),
+            "node_idx": int(graph_idx),
+            "node_idx_new": 0,
             "neighbors": neighbors,
             "masked_adj": self._densify_mask(g, w_edges, neighbors),
             "history": {k: np.asarray(v) for k, v in hist.items()},
@@ -619,6 +717,26 @@ class Explainer:
         self.last_alignment = {
             "P": P, "aligned_adj": aligned_adj, "aligned_feat": aligned_feat,
         }
+        if self.logdir is not None:
+            # render the denoised pre-alignment subgraphs and export the
+            # alignment artifacts (reference explain_nodes logs both
+            # subgraphs as images + the aligned adjacency,
+            # explain.py:261-290; r2 kept them only in memory)
+            from tpugraph.viz.graphs import denoise_graph as _dn, log_graph
+
+            for tag, res in (("align_ref", results[0]),
+                             ("align_cur", results[1])):
+                G = _dn(res["masked_adj"], res["node_idx_new"],
+                        threshold=0.1)
+                if G.number_of_nodes():
+                    log_graph(
+                        G, f"{tag}_node_{res['node_idx']}",
+                        outdir=self.logdir,
+                    )
+            np.save(
+                os.path.join(self.logdir, "aligned_adj.npy"),
+                np.asarray(aligned_adj),
+            )
         return masked_adjs
 
     def explain_graphs(self, graph_indices: Sequence[int]) -> List[np.ndarray]:
