@@ -153,14 +153,29 @@ def main(argv=None) -> None:
             masked = ex.explain_graphs(graph_indices)
             summary["graph_indices"] = graph_indices
         elif cfg.graph_idx == -1:
-            masked = ex.explain_graphs([1, 2, 3, 4])
-            summary["graph_indices"] = [1, 2, 3, 4]
+            graph_indices = [1, 2, 3, 4]
+            masked = ex.explain_graphs(graph_indices)
+            summary["graph_indices"] = graph_indices
         else:
             masked_adj = ex.explain(
                 node_idx=0, graph_idx=cfg.graph_idx, graph_mode=True
             )
+            graph_indices = [cfg.graph_idx]
+            masked = [masked_adj]
             summary["graph_idx"] = cfg.graph_idx
             summary["mask_shape"] = list(masked_adj.shape)
+        # denoise + render every explained graph's subgraph next to its
+        # .npy (reference explain.py:189-214 inside explain(), invoked
+        # from explain_graphs :356-402 via io_utils.log_graph:248-360)
+        viz_paths = []
+        for gi, ma in zip(graph_indices, masked):
+            G = denoise_graph(ma, 0, threshold_num=20, max_component=False)
+            if G.number_of_nodes() == 0:
+                continue
+            viz_paths.append(
+                log_graph(G, f"graph_{gi}", outdir=ex.logdir)
+            )
+        summary["viz"] = viz_paths
     else:
         if cfg.multinode_class >= 0:
             # reference explainer_main.py:288-307: explain up to 5 nodes of
@@ -179,6 +194,30 @@ def main(argv=None) -> None:
         res = ex.explain_nodes_gnn_stats(node_indices, model=explainer_model)
         summary["num_nodes_explained"] = len(node_indices)
         summary["auc"] = res["auc"]
+        # periodic mask/masked-adj heatmaps for EVERY explained node
+        # (reference explain.py:141-176, 822-981 logs them every 25
+        # epochs per node; r2 exported only one node's final mask)
+        if cfg.log_mask_every > 0:
+            from tpugraph.viz.graphs import save_matrix_image
+
+            g0 = ex._graph(0)
+            n_imgs = 0
+            for r in res["results"]:
+                w_hist = r.get("history", {}).get("masked_w")
+                if w_hist is None:
+                    continue
+                w_hist = np.asarray(w_hist)
+                for ep in range(0, w_hist.shape[0], cfg.log_mask_every):
+                    dense_ep = ex._densify_mask(
+                        g0, w_hist[ep], r["neighbors"]
+                    )
+                    save_matrix_image(
+                        dense_ep,
+                        f"mask/masked_adj_node{r['node_idx']}",
+                        outdir=ex.logdir, epoch=ep,
+                    )
+                    n_imgs += 1
+            summary["mask_heatmaps"] = n_imgs
         # render the first few explanation subgraphs
         for r in res["results"][:4]:
             G = denoise_graph(
