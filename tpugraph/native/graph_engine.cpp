@@ -105,6 +105,164 @@ int64_t bcsr_pack(const int32_t* rows, const int32_t* cols, const float* w,
     return t;
 }
 
+// ---------------------------------------------------- BCSR packing, fused v2
+
+static inline uint16_t f32_to_bf16(float v) {
+    uint32_t bits;
+    std::memcpy(&bits, &v, 4);
+    // round-to-nearest-even
+    uint32_t rounded = bits + 0x7fffu + ((bits >> 16) & 1u);
+    return (uint16_t)(rounded >> 16);
+}
+
+// Count the tiles bcsr_pack_v2 will emit (incl. row padding): per-row-block
+// tile counts rounded up to k_pack, empty row blocks get k_pack dead tiles.
+int64_t bcsr_count_tiles_v2(const int32_t* rows, const int32_t* cols,
+                            const float* w, int64_t e, int32_t n_blocks,
+                            int32_t block, int32_t k_pack) {
+    if (k_pack < 1) k_pack = 1;
+    std::unordered_set<int64_t> seen;
+    seen.reserve((size_t)(e / 4 + 1));
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        seen.insert((int64_t)(rows[i] / block) * n_blocks + cols[i] / block);
+    }
+    std::vector<int64_t> cnt(n_blocks, 0);
+    for (int64_t key : seen) cnt[key / n_blocks]++;
+    int64_t total = 0;
+    for (int32_t b = 0; b < n_blocks; ++b) {
+        int64_t c = cnt[b];
+        c = c == 0 ? k_pack : ((c + k_pack - 1) / k_pack) * k_pack;
+        total += c;
+    }
+    return total;
+}
+
+// Fused packer (r3): emits tiles DIRECTLY at the padded row layout and the
+// target dtype, replacing the python pipeline
+//   native f32 pack (2.8 GB) -> numpy bf16 cast -> numpy pad copy
+// with one pass.  Edges are counting-sorted by destination tile so each
+// tile accumulates in a small f32 scratch before one dtype conversion.
+// dtype: 0 = float32 out, 1 = bfloat16 out (uint16 buffer).
+// Returns emitted tile count, or -1 if t_total mismatches.
+int64_t bcsr_pack_v2(const int32_t* rows, const int32_t* cols, const float* w,
+                     int64_t e, int32_t n_blocks, int32_t block,
+                     int32_t k_pack, int32_t dtype, void* tiles_out,
+                     int32_t* col_blk, int32_t* row_of, int32_t* row_ptr,
+                     int64_t t_total) {
+    if (k_pack < 1) k_pack = 1;
+    // tile key -> provisional slot (sorted later)
+    std::unordered_map<int64_t, int64_t> slot;
+    slot.reserve((size_t)(e / 4 + 1));
+    std::vector<int64_t> keys;
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        int64_t key = (int64_t)(rows[i] / block) * n_blocks + cols[i] / block;
+        if (slot.emplace(key, 0).second) keys.push_back(key);
+    }
+    std::sort(keys.begin(), keys.end());
+    int64_t t_real = (int64_t)keys.size();
+
+    // padded per-row-block layout
+    std::vector<int64_t> cnt(n_blocks, 0);
+    for (int64_t key : keys) cnt[key / n_blocks]++;
+    std::vector<int64_t> padded(n_blocks);
+    int64_t total = 0;
+    for (int32_t b = 0; b < n_blocks; ++b) {
+        int64_t c = cnt[b];
+        padded[b] = c == 0 ? k_pack : ((c + k_pack - 1) / k_pack) * k_pack;
+        total += padded[b];
+    }
+    if (total != t_total) return -1;
+
+    row_ptr[0] = 0;
+    for (int32_t b = 0; b < n_blocks; ++b)
+        row_ptr[b + 1] = row_ptr[b] + (int32_t)padded[b];
+    // dead slots: zero tiles at col 0 of their own row block
+    for (int32_t b = 0; b < n_blocks; ++b)
+        for (int32_t j = 0; j < (int32_t)padded[b]; ++j) {
+            row_of[row_ptr[b] + j] = b;
+            col_blk[row_ptr[b] + j] = 0;
+        }
+    // real tiles: consecutive from their row block's start (keys sorted)
+    {
+        std::vector<int64_t> cursor(n_blocks);
+        for (int32_t b = 0; b < n_blocks; ++b) cursor[b] = row_ptr[b];
+        for (int64_t i = 0; i < t_real; ++i) {
+            int32_t rb = (int32_t)(keys[i] / n_blocks);
+            int64_t s = cursor[rb]++;
+            slot[keys[i]] = s;
+            col_blk[s] = (int32_t)(keys[i] % n_blocks);
+        }
+    }
+
+    // counting-sort edges by destination slot
+    std::vector<int64_t> hist(t_total + 1, 0);
+    std::vector<int64_t> edge_slot(e);
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) { edge_slot[i] = -1; continue; }
+        int64_t key = (int64_t)(rows[i] / block) * n_blocks + cols[i] / block;
+        int64_t s = slot[key];
+        edge_slot[i] = s;
+        hist[s + 1]++;
+    }
+    for (int64_t s = 0; s < t_total; ++s) hist[s + 1] += hist[s];
+    std::vector<int64_t> order(hist[t_total]);
+    {
+        std::vector<int64_t> cursor(hist.begin(), hist.end() - 1);
+        for (int64_t i = 0; i < e; ++i)
+            if (edge_slot[i] >= 0) order[cursor[edge_slot[i]]++] = i;
+    }
+
+    // per-tile f32 accumulate + one dtype conversion into the output;
+    // each slot is independent -> OpenMP across the (2) host cores.
+    const int64_t tile_sz = (int64_t)block * block;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<float> scratch(tile_sz);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+        for (int64_t s = 0; s < t_total; ++s) {
+            int64_t lo = hist[s], hi = hist[s + 1];
+            if (lo == hi) {  // dead slot: zero tile
+                if (dtype == 1)
+                    std::memset((uint16_t*)tiles_out + s * tile_sz, 0,
+                                (size_t)tile_sz * 2);
+                else
+                    std::memset((float*)tiles_out + s * tile_sz, 0,
+                                (size_t)tile_sz * 4);
+                continue;
+            }
+            std::fill(scratch.begin(), scratch.end(), 0.0f);
+            for (int64_t p = lo; p < hi; ++p) {
+                int64_t i = order[p];
+                scratch[(int64_t)(rows[i] % block) * block
+                        + (cols[i] % block)] += w[i];
+            }
+            if (dtype == 1) {
+                uint16_t* out = (uint16_t*)tiles_out + s * tile_sz;
+                // round-to-nearest-even on the raw bits; plain uint32
+                // loop so gcc auto-vectorizes it (built with
+                // -fno-strict-aliasing)
+                const uint32_t* bits =
+                    reinterpret_cast<const uint32_t*>(scratch.data());
+                for (int64_t j = 0; j < tile_sz; ++j) {
+                    uint32_t b = bits[j];
+                    out[j] = (uint16_t)((b + 0x7fffu + ((b >> 16) & 1u))
+                                        >> 16);
+                }
+            } else {
+                std::memcpy((float*)tiles_out + s * tile_sz, scratch.data(),
+                            (size_t)tile_sz * 4);
+            }
+        }
+    }
+    return t_real;
+}
+
 // ---------------------------------------------------------------- k-hop BFS
 
 // Mark all nodes within k hops of src (inclusive) in out_mask[n].

@@ -147,11 +147,29 @@ def bcsr_from_coo(
 
     # Fast path: native C++ tile packer (tpugraph.native), ~100x the
     # Python loop below on million-edge graphs (square matrices only).
+    # The FUSED variant emits the padded-row layout at the target dtype
+    # in one pass (no f32 intermediate, no numpy pad copy).
     if n_pad_r == n_pad_c:
         try:
             from tpugraph import native
 
             if native.native_available():
+                if pad_tiles_to is None:
+                    fused = native.bcsr_pack_fused(
+                        r, s, w, n_pad_r, block,
+                        k_pack=pad_rows_to or 1,
+                        tile_dtype=tile_dtype or np.float32,
+                    )
+                    if fused is not None:
+                        tiles, col_blk, row_of, row_ptr, _ = fused
+                        return BCSR(
+                            tiles=jnp.asarray(tiles),
+                            col_blk=jnp.asarray(col_blk),
+                            row_ptr=jnp.asarray(row_ptr),
+                            row_of=jnp.asarray(row_of),
+                            num_nodes=n_pad_c,
+                            block=block,
+                        )
                 tiles, col_blk, row_of, row_ptr, _ = native.bcsr_pack(
                     r, s, w, n_pad_r, block, pad_tiles_to
                 )
