@@ -49,13 +49,13 @@ def main() -> None:
     log(f"powerlaw: {n} nodes, {e} edges")
     interp = not on_tpu
 
-    @partial(jax.jit, static_argnames=("k", "cd", "od"))
-    def chained(p, p_t, x, k, cd, od):
+    @partial(jax.jit, static_argnames=("k", "cd", "od", "pk"))
+    def chained(p, p_t, x, k, cd, od, pk):
         def body(xc, _):
             y = spmm_packets(p, xc, interpret=interp, compute_dtype=cd,
-                             out_dtype=od)
+                             out_dtype=od, pk=pk)
             dx = spmm_packets(p_t, y, interpret=interp, compute_dtype=cd,
-                              out_dtype=od)
+                              out_dtype=od, pk=pk)
             dxf = dx.astype(jnp.float32)
             scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
             return (dxf * scale).astype(x.dtype), ()
@@ -82,23 +82,25 @@ def main() -> None:
         return per_iter, eps, cks
 
     results = {}
-    # (br, bc, K, variants); variant = (tag, x_dtype, out_dtype)
+    # (br, bc, K, pk, variants); variant = (tag, x_dtype, out_dtype)
     V_F32 = ("f32x", jnp.float32, jnp.float32)
     V_BF16 = ("bf16x", jnp.bfloat16, jnp.bfloat16)
     configs = [
-        (256, 256, 128, [V_BF16]),
-        (256, 256, 64, [V_BF16]),
-        (128, 256, 64, [V_BF16]),
-        (512, 256, 128, [V_F32, V_BF16]),
-        (512, 256, 256, [V_BF16]),
-        (128, 128, 32, [V_BF16]),
+        (512, 256, 128, 8, [V_BF16]),
+        (256, 256, 128, 8, [V_BF16]),
+        (256, 256, 64, 8, [V_BF16]),
+        (256, 256, 64, 16, [V_BF16]),
+        (512, 256, 64, 16, [V_BF16]),
+        (256, 256, 32, 16, [V_BF16]),
+        (256, 256, 32, 32, [V_BF16]),
     ]
-    for (br, bc, kk, variants) in configs:
+    for (br, bc, kk, pkm, variants) in configs:
         t0 = time.perf_counter()
-        p = pack_edges(s, r, w, n, block_r=br, block_c=bc, k=kk)
+        p = pack_edges(s, r, w, n, block_r=br, block_c=bc, k=kk,
+                       pk_multiple=pkm)
         pack_s = time.perf_counter() - t0
         st = packet_stats(p, e)
-        log(f"cfg ({br},{bc},K={kk}): {st['packets']} packets, "
+        log(f"cfg ({br},{bc},K={kk},pk={pkm}): {st['packets']} packets, "
             f"occ {st['slot_occupancy']:.2f}, pack {pack_s:.1f}s")
         x32 = jnp.asarray(
             np.random.default_rng(1)
@@ -106,11 +108,11 @@ def main() -> None:
             .astype(np.float32)
         )
         for (vtag, xdt, odt) in variants:
-            name = f"{br}x{bc}k{kk}_{vtag}"
+            name = f"{br}x{bc}k{kk}pk{pkm}_{vtag}"
             try:
                 _, eps, cks = run(
                     f"pkt-{name}",
-                    partial(chained, k=K, cd=jnp.bfloat16, od=odt),
+                    partial(chained, k=K, cd=jnp.bfloat16, od=odt, pk=pkm),
                     (p, p, x32.astype(xdt)),
                 )
                 results[name] = eps

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpugraph.ops.packets import EdgePackets
 
 LANES = 128
-PK = 8  # packets per grid step (int32 sublane tiling floor)
+PK = 8  # default packets per grid step (int32 sublane tiling floor)
 
 
 def _on_tpu() -> bool:
@@ -52,17 +52,25 @@ def _on_tpu() -> bool:
 
 
 def _packet_kernel_factory(k: int, br: int, bc: int, d: int, compute_dtype,
-                           num_steps: int, out_dtype):
-    """One grid step = PK packets sharing an output row block.
+                           num_steps: int, out_dtype, pk: int):
+    """One grid step = ``pk`` packets sharing an output row block.
 
-    The inner loop is UNROLLED and the per-packet gather results are
-    staged in a VMEM buffer so the scatter is ONE merged matmul
-    ``[Br, PK*K] @ [PK*K, D]`` per step.  Rationale (measured, r3): the
-    naive per-packet loop of dependent small matmuls ran the MXU at
-    ~23% — a ``[K<=256, Bc]`` gather occupies at most 1-2 of the 4 MXU
-    output tiles and each packet's scatter depended on its gather.
-    Merging the scatter yields a 4-tile-wide matmul and leaves the 8
-    independent gathers free to pipeline."""
+    Two structural choices, both from r3 on-chip measurements:
+
+    * The inner loop is UNROLLED and the per-packet gather results are
+      staged in a VMEM buffer so the scatter is ONE merged matmul
+      ``[Br, pk*K] @ [pk*K, D]`` per step.  The naive per-packet loop of
+      dependent small matmuls ran the MXU at ~23% — a ``[K<=256, Bc]``
+      gather occupies at most 1-2 of the 4 MXU output tiles and each
+      packet's scatter depended on its gather.  Merging the scatter
+      yields a 4-tile-wide matmul and leaves the independent gathers
+      free to pipeline.
+    * The x-window DMAs run on a CROSS-STEP ring: step ``i`` issues ALL
+      of step ``i+1``'s window copies before doing its own compute, so
+      no wait is latency-exposed.  (Mosaic pipelines BlockSpec-managed
+      operands across grid steps automatically, but manual in-body DMAs
+      are sequenced with the body — the within-step double buffer alone
+      left a ~2.3 us/step latency floor.)"""
     cd = compute_dtype
     cast_out = jnp.dtype(out_dtype) != jnp.float32
 
@@ -71,7 +79,7 @@ def _packet_kernel_factory(k: int, br: int, bc: int, d: int, compute_dtype,
         acc = scratch[0] if cast_out else out_ref
 
         i = pl.program_id(0)
-        base = i * PK
+        base = i * pk
         row = row_ref[base]
         prev = row_ref[jnp.maximum(base - 1, 0)]
         is_first = jnp.logical_or(i == 0, row != prev)
@@ -83,20 +91,28 @@ def _packet_kernel_factory(k: int, br: int, bc: int, d: int, compute_dtype,
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (k, bc), 1)
         sub_r = jax.lax.broadcasted_iota(jnp.int32, (br, k), 0)
 
-        def dma(slot, j):
+        def dma(bank, j, packet):
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds(col_ref[base + j] * bc, bc), :],
-                xbuf.at[slot],
-                sems.at[slot],
+                x_ref.at[pl.ds(col_ref[packet] * bc, bc), :],
+                xbuf.at[bank, j],
+                sems.at[bank, j],
             )
 
-        dma(0, 0).start()
+        bank = jax.lax.rem(i, 2)
 
-        for j in range(PK):  # unrolled
-            if j + 1 < PK:
-                dma((j + 1) % 2, j + 1).start()
-            dma(j % 2, j).wait()
-            xb = xbuf[j % 2]
+        @pl.when(i == 0)
+        def _():
+            for j in range(pk):
+                dma(0, j, j).start()
+
+        @pl.when(i + 1 < num_steps)
+        def _():
+            for j in range(pk):
+                dma(1 - bank, j, base + pk + j).start()
+
+        for j in range(pk):  # unrolled
+            dma(bank, j, base + j).wait()
+            xb = xbuf[bank, j]
             if xb.dtype != cd:
                 xb = xb.astype(cd)
             cl = cols_ref[j]  # [K] int32
@@ -117,8 +133,8 @@ def _packet_kernel_factory(k: int, br: int, bc: int, d: int, compute_dtype,
         )
 
         if cast_out:
-            nxt = row_ref[jnp.minimum(base + PK, num_steps * PK - 1)]
-            is_last = jnp.logical_or(base + PK >= num_steps * PK, nxt != row)
+            nxt = row_ref[jnp.minimum(base + pk, num_steps * pk - 1)]
+            is_last = jnp.logical_or(base + pk >= num_steps * pk, nxt != row)
 
             @pl.when(is_last)
             def _():
@@ -133,10 +149,12 @@ def spmm_packets(
     interpret: Optional[bool] = None,
     out_dtype=None,
     compute_dtype=None,
+    pk: int = PK,
 ) -> jax.Array:
     """``y = A @ x`` with A in edge-packet form.  ``x`` must be
     ``[p.num_nodes, D]`` with D a multiple of 128; ``p`` must be packed
-    with ``pk_multiple=8`` (``pack_edges`` default).
+    with ``pk_multiple=pk`` (``pack_edges`` default 8; ``pk`` must be a
+    multiple of 8 for the int32 sublane tiling).
 
     ``compute_dtype`` is the one-hot / MXU input precision: ``bfloat16``
     (default on TPU — exact on the one-hot side since entries are
@@ -156,14 +174,15 @@ def spmm_packets(
     out_dtype = jnp.dtype(out_dtype)
     br, bc, k = p.block_r, p.block_c, p.k
     np_ = p.num_packets
-    assert np_ % PK == 0, f"pad packet count to a multiple of {PK}"
-    num_steps = np_ // PK
+    assert pk % 8 == 0, f"pk must be a multiple of 8, got {pk}"
+    assert np_ % pk == 0, f"pad packet count to a multiple of {pk}"
+    num_steps = np_ // pk
 
     scratch = [
-        pltpu.VMEM((2, bc, d), x.dtype),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((PK * k, d), compute_dtype),   # staged gather results
-        pltpu.VMEM((br, PK * k), compute_dtype),  # merged scatter one-hot
+        pltpu.VMEM((2, pk, bc, d), x.dtype),      # cross-step window ring
+        pltpu.SemaphoreType.DMA((2, pk)),
+        pltpu.VMEM((pk * k, d), compute_dtype),   # staged gather results
+        pltpu.VMEM((br, pk * k), compute_dtype),  # merged scatter one-hot
     ]
     if out_dtype != jnp.float32:
         scratch.append(pltpu.VMEM((br, d), jnp.float32))
@@ -173,19 +192,19 @@ def spmm_packets(
         num_scalar_prefetch=2,
         grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((PK, k), lambda i, row, col: (i, 0)),
-            pl.BlockSpec((PK, k), lambda i, row, col: (i, 0)),
-            pl.BlockSpec((PK, k), lambda i, row, col: (i, 0)),
+            pl.BlockSpec((pk, k), lambda i, row, col: (i, 0)),
+            pl.BlockSpec((pk, k), lambda i, row, col: (i, 0)),
+            pl.BlockSpec((pk, k), lambda i, row, col: (i, 0)),
             x_spec,
         ],
-        out_specs=pl.BlockSpec((br, d), lambda i, row, col: (row[i * PK], 0)),
+        out_specs=pl.BlockSpec((br, d), lambda i, row, col: (row[i * pk], 0)),
         scratch_shapes=scratch,
     )
     w_b = jnp.dtype(p.w.dtype).itemsize
     x_b = jnp.dtype(x.dtype).itemsize
     return pl.pallas_call(
         _packet_kernel_factory(
-            k, br, bc, d, compute_dtype, num_steps, out_dtype
+            k, br, bc, d, compute_dtype, num_steps, out_dtype, pk
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
@@ -206,23 +225,24 @@ def packets_matvec(
     interpret: Optional[bool] = None,
     out_dtype=None,
     compute_dtype=None,
+    pk: int = PK,
 ) -> jax.Array:
     """Differentiable ``A @ x`` on the packet path: custom VJP with
     ``dx = A^T @ g`` via the transposed packet plan (``p_t``), mirroring
     :func:`tpugraph.ops.pallas_spmm.bcsr_matvec`.  Pass ``p``/``p_t`` as
     jit ARGUMENTS (closures bake the arrays into the HLO)."""
     return _packets_matvec_vjp(p, p_t, x, interpret, out_dtype,
-                               compute_dtype)
+                               compute_dtype, pk)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _packets_matvec_vjp(p, p_t, x, interpret, out_dtype, compute_dtype):
-    return spmm_packets(p, x, interpret, out_dtype, compute_dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packets_matvec_vjp(p, p_t, x, interpret, out_dtype, compute_dtype, pk):
+    return spmm_packets(p, x, interpret, out_dtype, compute_dtype, pk)
 
 
-def _pm_fwd(p, p_t, x, interpret, out_dtype, compute_dtype):
+def _pm_fwd(p, p_t, x, interpret, out_dtype, compute_dtype, pk):
     return (
-        spmm_packets(p, x, interpret, out_dtype, compute_dtype),
+        spmm_packets(p, x, interpret, out_dtype, compute_dtype, pk),
         (p, p_t),
     )
 
@@ -240,12 +260,12 @@ def _zero_cotangent(p):
     return jax.tree_util.tree_map(zero, p)
 
 
-def _pm_bwd(interpret, out_dtype, compute_dtype, res, g):
+def _pm_bwd(interpret, out_dtype, compute_dtype, pk, res, g):
     p, p_t = res
     if g.dtype != jnp.float32 and (out_dtype is None
                                    or jnp.dtype(out_dtype) == jnp.float32):
         g = g.astype(jnp.float32)
-    dx = spmm_packets(p_t, g, interpret, out_dtype, compute_dtype)
+    dx = spmm_packets(p_t, g, interpret, out_dtype, compute_dtype, pk)
     return (_zero_cotangent(p), _zero_cotangent(p_t), dx)
 
 
