@@ -118,5 +118,95 @@ def main() -> None:
     }))
 
 
+def main_halo() -> None:
+    """Weak-scaling of the node-partitioned HALO training path (VERDICT
+    r2 item 8): fixed per-device nodes/edges on a power-law graph,
+    1 -> 8 virtual devices, full 3-layer halo-exchange train step.
+    Also reports the numbers the max-padded plan hides: shard edge
+    balance (max/mean) and halo traffic per step."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from bench import make_powerlaw_graph
+    from tpugraph.core.graph import graph_from_edges
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.mesh import make_mesh
+    from tpugraph.parallel.spmd import build_halo_plan, \
+        make_halo_node_train_step
+
+    ns_per_dev, d_feat, n_cls, deg = 2048, 64, 4, 8
+    steps, reps = 8, 3
+    num_layers = 3
+
+    times, balance, halo_bytes = {}, {}, {}
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev)
+        n_nodes = ns_per_dev * n_dev
+        s, r, w = make_powerlaw_graph(n_nodes, deg, seed=7)
+        g = graph_from_edges(s, r, n_nodes,
+                             num_edges_padded=((len(s) + 7) // 8) * 8)
+        plan = build_halo_plan(g, n_dev)
+        n_total = plan.shard_size * n_dev
+        # shard balance: live edges per device in the (max-padded) plan
+        live = np.asarray(plan.weights) != 0
+        per_shard = live.sum(axis=1)
+        balance[n_dev] = float(per_shard.max() / max(per_shard.mean(), 1))
+        # halo traffic: boundary features exchanged per layer, fwd+bwd
+        halo_bytes[n_dev] = int(
+            n_dev * n_dev * plan.halo_size * d_feat * 4 * num_layers * 2
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(
+            (n_total, d_feat)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, n_cls, n_total).astype(np.int32))
+        mask = jnp.zeros((n_total,), jnp.float32).at[:n_nodes].set(1.0)
+        model = GcnEncoderNode(input_dim=d_feat, hidden_dim=32,
+                               embedding_dim=32, label_dim=n_cls,
+                               num_layers=num_layers)
+        params = model.init(
+            jax.random.PRNGKey(0), x,
+            SparseAdj(g.senders, g.receivers, g.edge_weight))
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        step = make_halo_node_train_step(model, tx, mesh)
+
+        params, opt, loss = step(params, opt, plan, x, y, mask)
+        jax.block_until_ready(loss)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                params, opt, loss = step(params, opt, plan, x, y, mask)
+            jax.block_until_ready(loss)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        times[n_dev] = best
+        log(f"halo {n_dev} dev: {len(s)} edges "
+            f"(balance {balance[n_dev]:.2f}, halo {plan.halo_size}/peer), "
+            f"{best * 1e3:.1f} ms/step")
+
+    effs = {n: n * times[1] / times[n] for n in times}
+    log("halo weak-scaling program efficiency: "
+        + ", ".join(f"{n}dev={effs[n]:.2f}" for n in sorted(effs)))
+    print(json.dumps({
+        "metric": "halo_weak_scaling_program_efficiency_8dev",
+        "value": effs[8],
+        "unit": "N*t1/tN (fixed per-device nodes+edges, power-law)",
+        "vs_baseline": effs[8] / 0.9,  # done criterion >= 0.9
+        "efficiency_by_devices": {str(k): round(v, 3)
+                                  for k, v in effs.items()},
+        "shard_edge_balance_max_over_mean": {
+            str(k): round(v, 3) for k, v in balance.items()},
+        "halo_bytes_per_step": halo_bytes,
+        "note": ("virtual CPU devices time-share the host, so this "
+                 "isolates partition+collective overhead, not ICI"),
+    }))
+
+
 if __name__ == "__main__":
     main()
+    main_halo()
