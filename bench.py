@@ -137,9 +137,9 @@ def main() -> None:
 
     if on_tpu:
         n, deg, bw, d, K, reps = 65536, 32, 192, 128, 50, 3
-        # Default: tuned 256-block bf16 config (3.9e9 edges/s, measured).
-        # Its multi-minute cold compile is absorbed by the persistent
-        # compilation cache (pre-warmed in .jax_cache — loads in <1 s).
+        # Default: tuned 256-block bf16-tile config.  Its multi-minute
+        # cold compile is absorbed by the persistent compilation cache
+        # (pre-warmed in .jax_cache — loads in <1 s).
         # TPUGRAPH_BENCH_TUNED=0 opts into the conservative 128/f32
         # config for a cold-cache machine with a tight time budget.
         if os.environ.get("TPUGRAPH_BENCH_TUNED") == "0":
@@ -263,27 +263,24 @@ def main() -> None:
         m_used = m
     t_coo, cks_c = run("coo", chained_coo, (sd, rd, wd, x))
 
-    # ---- bf16 end-to-end chain: activations live in HBM as bf16, so the
-    # packed kernel's manual DMA gathers HALF the x bytes AND writes half
-    # the output bytes (out_dtype=bf16, f32 VMEM accumulation).  The
-    # kernel is memory-bound (HBM util below), so fewer bytes ≈ less time.
+    # ---- bf16-x chain: activations live in HBM as bf16 (the packed
+    # kernel's manual DMA gathers HALF the x bytes) but the kernel writes
+    # f32 output; the chain body casts y back to bf16 (cheap XLA
+    # elementwise).  Measured r3: this is the fast arrangement — the
+    # out_dtype=bf16 cast-in-kernel variant was consistently ~40% SLOWER
+    # (its per-row-block scratch downcast defeats the output pipeline),
+    # which is what made r2's "bf16 chain" lose to f32.
     t_bf16 = None
     if use_packed:
 
         @partial(jax.jit, static_argnames=("k", "kp"))
-        def chained_pallas_bf16(m, m_t, x, k, kp):
+        def chained_pallas_xbf16(m, m_t, x, k, kp):
             def body(xc, _):
-                y = spmm_bcsr_packed(
-                    m, xc, k_pack=kp, interpret=interp,
-                    out_dtype=jnp.bfloat16,
-                )
-                dx = spmm_bcsr_packed(
-                    m_t, y, k_pack=kp, interpret=interp,
-                    out_dtype=jnp.bfloat16,
-                )
-                dxf = dx.astype(jnp.float32)
-                scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
-                return (dxf * scale).astype(jnp.bfloat16), ()
+                y = spmm_bcsr_packed(m, xc, k_pack=kp, interpret=interp)
+                y = y.astype(jnp.bfloat16)
+                dx = spmm_bcsr_packed(m_t, y, k_pack=kp, interpret=interp)
+                scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+                return (dx * scale).astype(jnp.bfloat16), ()
 
             xf, _ = jax.lax.scan(
                 body, x.astype(jnp.bfloat16), None, length=k
@@ -291,13 +288,13 @@ def main() -> None:
             return jnp.sum(xf.astype(jnp.float32))
 
         t_bf16, cks_b = run(
-            f"pallas-packed-k{k_pack}-bf16",
-            partial(chained_pallas_bf16, kp=k_pack),
+            f"pallas-packed-k{k_pack}-xbf16",
+            partial(chained_pallas_xbf16, kp=k_pack),
             (m_packed, m_t_packed, x),
         )
         rel_b = abs(cks_b - cks_c) / (abs(cks_c) + 1e-9)
-        log(f"bf16-chain checksum rel diff vs coo: {rel_b:.2e}")
-        assert rel_b < 1e-1, "bf16 chain diverged"
+        log(f"bf16-x chain checksum rel diff vs coo: {rel_b:.2e}")
+        assert rel_b < 1e-1, "bf16-x chain diverged"
 
     # correctness guard: after K renormalized iterations both paths must
     # land on (numerically) the same checksum.
@@ -306,7 +303,7 @@ def main() -> None:
     assert rel < 5e-2, "pallas/coo divergence"
 
     if t_bf16 is not None and t_bf16 < t_pallas:
-        headline_t, headline_cfg = t_bf16, "bf16-chain"
+        headline_t, headline_cfg = t_bf16, "xbf16-chain"
     else:
         headline_t, headline_cfg = t_pallas, "f32-chain"
     pallas_eps = 2 * num_edges / headline_t
@@ -345,7 +342,7 @@ def main() -> None:
 
     banded_stats = roofline(
         m_used, headline_t, num_edges, f"banded-{headline_cfg}",
-        act_bytes=2 if headline_cfg == "bf16-chain" else 4,
+        act_bytes=2 if headline_cfg == "xbf16-chain" else 4,
     )
 
     # ---- real (scale-free) topology: NO artificial locality.  Packing
@@ -392,8 +389,10 @@ def main() -> None:
     tpk = time.perf_counter()
     m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td,
                        pad_rows_to=prt2)
-    log(f"powerlaw pack fwd: {time.perf_counter()-tpk:.1f}s "
-        f"({m2.num_tiles} tiles)")
+    jax.block_until_ready(m2.tiles)
+    dense_pack_s = time.perf_counter() - tpk
+    log(f"powerlaw dense-tile pack+upload: {dense_pack_s:.1f}s "
+        f"({m2.num_tiles} tiles; fused native bf16 emit)")
     m2_t = m2  # symmetric unit-weight graph: A^T == A (see above)
     log(f"powerlaw packing k={kp2 if use_packed2 else 'off'} "
         f"(pad overhead {ovh2:.2f})")
@@ -402,10 +401,27 @@ def main() -> None:
         .standard_normal((m2.num_nodes, d))
         .astype(np.float32)
     )
+
+    # bf16-x chain on the dense-tile kernel: measured the fastest real-
+    # topology arrangement (r3) — bf16 resident activations halve the
+    # x-gather DMA bytes, putting the kernel at ~100% of the HBM
+    # roofline; out stays f32 (see the bf16 finding above).
+    @partial(jax.jit, static_argnames=("k", "kp"))
+    def chained_xbf16(m, m_t, x, k, kp):
+        def body(xc, _):
+            y = spmm_bcsr_packed(m, xc, k_pack=kp, interpret=interp)
+            y = y.astype(jnp.bfloat16)
+            dx = spmm_bcsr_packed(m_t, y, k_pack=kp, interpret=interp)
+            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return (dx * scale).astype(jnp.bfloat16), ()
+
+        xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
+        return jnp.sum(xf.astype(jnp.float32))
+
     if use_packed2:
         t_real, cks_r = run(
-            f"pallas-powerlaw-{best}-packed-k{kp2}",
-            partial(chained_pallas_packed, kp=kp2),
+            f"pallas-powerlaw-{best}-packed-k{kp2}-xbf16",
+            partial(chained_xbf16, kp=kp2),
             (m2, m2_t, x2),
         )
     else:
@@ -413,7 +429,43 @@ def main() -> None:
                             (m2, m2_t, x2))
     m2_used = m2
     real_eps = 2 * n_edges2 / t_real
-    real_stats = roofline(m2_used, t_real, n_edges2, f"powerlaw-{best}")
+    real_stats = roofline(m2_used, t_real, n_edges2, f"powerlaw-{best}",
+                          act_bytes=2)
+
+    # Edge-packet kernel on the same graph: ~100x less HBM tile traffic
+    # and a ~1 s pack (no tile materialization), but MXU-bound on the
+    # one-hot matmuls (see ops/pallas_packets.py).  Report both formats.
+    from tpugraph.ops.packets import pack_edges
+    from tpugraph.ops.pallas_packets import spmm_packets
+
+    tpk = time.perf_counter()
+    pkt = pack_edges(s2o, r2o, w2, n_r, block_r=512, block_c=256, k=128)
+    jax.block_until_ready(pkt.rows)
+    pkt_pack_s = time.perf_counter() - tpk
+    log(f"powerlaw packet pack+upload: {pkt_pack_s:.1f}s "
+        f"({pkt.num_packets} packets of K={pkt.k})")
+    x2p = jnp.asarray(
+        np.random.default_rng(2)
+        .standard_normal((pkt.num_nodes, d))
+        .astype(np.float32)
+    )
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_packets(p, x, k):
+        def body(xc, _):
+            y = spmm_packets(p, xc, interpret=interp)
+            y = y.astype(jnp.bfloat16)
+            dx = spmm_packets(p, y, interpret=interp)
+            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return (dx * scale).astype(jnp.bfloat16), ()
+
+        xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
+        return jnp.sum(xf.astype(jnp.float32))
+
+    t_pkt, cks_pkt = run("packets-powerlaw-512x256k128",
+                         chained_packets, (pkt, x2p))
+    pkt_eps = 2 * n_edges2 / t_pkt
+
     # COO on the same graph — pad x to the BCSR node count for shape parity
     sd2 = jnp.asarray(s2o)
     rd2 = jnp.asarray(r2o)
@@ -422,10 +474,16 @@ def main() -> None:
                              (sd2, rd2, wd2, x2))
     rel_r = abs(cks_r - cks_rc) / (abs(cks_rc) + 1e-9)
     assert rel_r < 5e-2, "powerlaw pallas/coo divergence"
+    rel_pkt = abs(cks_pkt - cks_rc) / (abs(cks_rc) + 1e-9)
+    assert rel_pkt < 5e-2, "powerlaw packets/coo divergence"
     real_coo_eps = 2 * n_edges2 / t_real_coo
-    log(f"pallas real-topology: {real_eps:.3e} edges/s; "
+    pl_format = "dense-tile" if real_eps >= pkt_eps else "edge-packets"
+    pl_best_eps = max(real_eps, pkt_eps)
+    log(f"pallas real-topology: dense-tile {real_eps:.3e} "
+        f"(pack {dense_pack_s:.1f}s), packets {pkt_eps:.3e} "
+        f"(pack {pkt_pack_s:.1f}s) -> {pl_format}; "
         f"coo: {real_coo_eps:.3e} edges/s "
-        f"({real_eps / real_coo_eps:.1f}x)")
+        f"({pl_best_eps / real_coo_eps:.1f}x)")
 
     print(
         json.dumps(
@@ -436,15 +494,20 @@ def main() -> None:
                 "vs_baseline": pallas_eps / coo_eps,
                 "chain_dtype": headline_cfg,
                 "edges_per_s_f32_chain": f32_eps,
-                "edges_per_s_bf16_chain": bf16_eps,
+                "edges_per_s_xbf16_chain": bf16_eps,
                 "mfu_dense": round(banded_stats["mfu_dense"], 4),
                 "edge_frac_of_peak": round(
                     banded_stats["edge_frac_of_peak"], 4
                 ),
                 "hbm_util": round(banded_stats["hbm_util"], 4),
                 "tile_density": round(banded_stats["density"], 4),
-                "powerlaw_edges_per_s": real_eps,
-                "powerlaw_vs_coo": real_eps / real_coo_eps,
+                "powerlaw_edges_per_s": pl_best_eps,
+                "powerlaw_format": pl_format,
+                "powerlaw_vs_coo": pl_best_eps / real_coo_eps,
+                "powerlaw_dense_tile_edges_per_s": real_eps,
+                "powerlaw_packets_edges_per_s": pkt_eps,
+                "powerlaw_dense_pack_seconds": round(dense_pack_s, 1),
+                "powerlaw_packet_pack_seconds": round(pkt_pack_s, 1),
                 "powerlaw_tile_density": round(real_stats["density"], 5),
                 "powerlaw_ordering": best,
                 "powerlaw_tiles_by_ordering": counts,

@@ -114,6 +114,24 @@ def main_bcsr() -> None:
             f"-> {variants[tag]:.1f} steps/s on {len(s)} edges")
     bcsr_sps = max(variants.values())
 
+    # multi-query throughput: the pack + transpose plan + jitted runner
+    # are shared across queries (VERDICT r2 item 5), so aggregate steps/s
+    # should scale ~linearly with query count (flat per-query time).
+    best_dt = max(variants, key=variants.get)
+    run_best = make_run(None if best_dt == "f32" else jnp.bfloat16)
+    n_query = 8
+    t0 = time.perf_counter()
+    for q in range(n_query):
+        jax.block_until_ready(run_best(
+            params, m, tp, partner, x, pred_vec, jax.random.PRNGKey(q)
+        ))
+    multi_t = time.perf_counter() - t0
+    multi_sps = n_query * epochs / multi_t
+    log(f"[bcsr-multiquery] {n_query} queries x {epochs} epochs in "
+        f"{multi_t:.2f}s -> {multi_sps:.1f} aggregate steps/s "
+        f"= {multi_sps / bcsr_sps:.2f}x the single-query rate "
+        f"(1.0 = perfectly linear scaling)")
+
     cfg_coo = ExplainConfig(num_epochs=coo_epochs)
     run_coo = jax.jit(
         lambda p, g, x, pv, k: run_mask_optimization(
@@ -140,6 +158,9 @@ def main_bcsr() -> None:
         "unit": "steps/s",
         "vs_baseline": bcsr_sps / coo_sps,
         "by_spmm_dtype": {k: round(v, 2) for k, v in variants.items()},
+        "multiquery_aggregate_steps_per_s": round(multi_sps, 2),
+        "multiquery_n": n_query,
+        "multiquery_scaling_vs_single": round(multi_sps / bcsr_sps, 3),
     }))
 
 

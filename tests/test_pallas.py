@@ -442,17 +442,3 @@ def test_bcsr_pad_at_pack_time(rng):
     assert b16.tiles.dtype == jnp.bfloat16
 
 
-def test_spmm_packed_v3_matches_v1(rng):
-    """Cross-step DMA-ring kernel (v3) matches the per-tile kernel."""
-    from tpugraph.ops.bcsr import bcsr_pad_rows
-    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed_v3
-
-    s, r, w, dense, n = random_coo(rng, n=400, p=0.03)
-    m = bcsr_from_coo(s, r, w, n)
-    for kp in (1, 2, 4):
-        mp = bcsr_pad_rows(m, kp)
-        x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
-        y1 = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
-        y3 = np.asarray(spmm_bcsr_packed_v3(mp, jnp.asarray(x), k_pack=kp,
-                                            interpret=True))
-        np.testing.assert_allclose(y3, y1, atol=1e-3)

@@ -91,22 +91,30 @@ def _spmm_kernel_cast_factory(num_tiles: int, out_dtype):
 def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None,
               out_dtype=None) -> jax.Array:
     """``y = A @ x`` with A in BCSR.  ``x`` must be ``[N_pad, D]`` with
-    ``N_pad == m.num_nodes`` and ``D`` a multiple of 128 (pad features).
+    ``N_pad == m.num_nodes`` (the padded COLUMN count) and ``D`` a
+    multiple of 128 (pad features).  Output is ``[m.num_row_nodes, D]``
+    (equal to ``[N_pad, D]`` for square matrices).
 
     Grid is one step per tile; tiles of one row block are consecutive, so
     the output block stays resident in VMEM across its accumulation
     (Pallas revisiting semantics) and spills to HBM once per row block.
 
     ``out_dtype`` (default float32) selects the HBM output precision;
-    accumulation is always f32 on the MXU.  ``bfloat16`` halves the
-    output write traffic — and, when the result feeds the next SpMM,
-    halves that kernel's x-gather traffic too (memory-bound win).
+    accumulation is always f32 on the MXU.  MEASURED (r3, bench): prefer
+    ``out_dtype=float32`` and cast the RESULT to bf16 with a normal XLA
+    elementwise op when the consumer wants bf16 — the in-kernel
+    ``bfloat16`` downcast store (scratch accumulator + per-row-block
+    cast) ran ~40% slower than f32-out on both bench graphs, more than
+    erasing the halved write traffic.  The real bf16 win is on the INPUT
+    side: bf16-resident x halves this kernel's gather DMA bytes (the
+    powerlaw bench's 1.79x).
     """
     n, d = x.shape
     assert n == m.num_nodes, (n, m.num_nodes)
     assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
     b = m.block
     t = m.num_tiles
+    n_out = m.num_row_nodes
     if interpret is None:
         interpret = not _on_tpu()
     if out_dtype is None:
@@ -136,11 +144,11 @@ def spmm_bcsr(m: BCSR, x: jax.Array, interpret: Optional[bool] = None,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=t * b * b * tile_b + t * b * d * x_b
-            + n * d * out_dtype.itemsize,
+            + n_out * d * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -300,14 +308,16 @@ def spmm_bcsr_packed(
     (use :func:`tpugraph.ops.bcsr.bcsr_pad_rows`).
 
     ``out_dtype=bfloat16`` keeps accumulation f32 in VMEM scratch and
-    downcasts once per row block: halves output-write traffic, and lets a
-    chained consumer gather bf16 x blocks (this kernel's manual DMA buffer
-    already matches the HBM dtype of ``x``)."""
+    downcasts once per row block — measured ~40% SLOWER than f32 out +
+    an XLA cast outside the kernel (see :func:`spmm_bcsr`); kept for API
+    completeness.  Feed bf16 ``x`` instead (the manual DMA buffer
+    matches the HBM dtype of ``x``): that is the memory-bound win."""
     n, d = x.shape
     assert n == m.num_nodes
     assert d % LANES == 0
     b = m.block
     t = m.num_tiles
+    n_out = m.num_row_nodes
     assert t % k_pack == 0, f"pad tiles per row to a multiple of {k_pack}"
     if interpret is None:
         interpret = not _on_tpu()
@@ -342,111 +352,11 @@ def spmm_bcsr_packed(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_out, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * b * b * d,
             bytes_accessed=t * b * b * tile_b + t * b * d * x_b
-            + n * d * out_dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(m.row_of, m.col_blk, m.tiles, x)
-
-
-def _spmm_packed_kernel_xstep_factory(k_pack: int, block: int, d: int,
-                                      num_steps: int):
-    """Packed kernel v3: the x-block DMA ring spans GRID STEPS — at the
-    end of step ``i`` the kernel has already issued the copy for step
-    ``i+1``'s first block, so no step starts with an exposed DMA wait
-    (the BlockSpec tile stream is pipelined by Pallas; the manual x
-    gather was not)."""
-
-    def kernel(row_ref, col_ref, tiles_ref, x_hbm, out_ref, xbuf, sems):
-        i = pl.program_id(0)
-        base = i * k_pack
-        row = row_ref[base]
-        prev_row = row_ref[jnp.maximum(base - 1, 0)]
-        is_first = jnp.logical_or(i == 0, row != prev_row)
-
-        @pl.when(is_first)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        def dma(slot, tile_idx):
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(col_ref[tile_idx] * block, block), :],
-                xbuf.at[slot],
-                sems.at[slot],
-            )
-
-        # Ring position is global over TILES, not per step: tile j of
-        # step i occupies slot (base + j) % 2.  Step 0 seeds the ring;
-        # every later step's first copy was issued by its predecessor.
-        @pl.when(i == 0)
-        def _():
-            dma(0, 0).start()
-
-        def body(j, _):
-            slot = (base + j) % 2
-            nxt = base + j + 1
-
-            @pl.when(nxt < num_steps * k_pack)
-            def _():
-                dma(nxt % 2, nxt).start()
-
-            dma(slot, base + j).wait()
-            xv = xbuf[slot]
-            if xv.dtype != tiles_ref.dtype:
-                xv = xv.astype(tiles_ref.dtype)
-            out_ref[:] += jnp.dot(
-                tiles_ref[j], xv, preferred_element_type=jnp.float32
-            )
-
-        jax.lax.fori_loop(0, k_pack, body, None)
-
-    return kernel
-
-
-def spmm_bcsr_packed_v3(
-    m: BCSR,
-    x: jax.Array,
-    k_pack: int = 4,
-    interpret: Optional[bool] = None,
-) -> jax.Array:
-    """:func:`spmm_bcsr_packed` with a cross-grid-step x-DMA ring (no
-    per-step cold DMA wait).  Same layout requirements."""
-    n, d = x.shape
-    assert n == m.num_nodes
-    assert d % LANES == 0
-    b = m.block
-    t = m.num_tiles
-    assert t % k_pack == 0, f"pad tiles per row to a multiple of {k_pack}"
-    if interpret is None:
-        interpret = not _on_tpu()
-
-    num_steps = t // k_pack
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_steps,),
-        in_specs=[
-            pl.BlockSpec((k_pack, b, b), lambda i, row, col: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i * k_pack], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, b, d), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    tile_b = jnp.dtype(m.tiles.dtype).itemsize
-    x_b = jnp.dtype(x.dtype).itemsize
-    return pl.pallas_call(
-        _spmm_packed_kernel_xstep_factory(k_pack, b, d, num_steps),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * t * b * b * d,
-            bytes_accessed=t * b * b * tile_b + t * b * d * x_b + n * d * 4,
+            + n_out * d * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
