@@ -442,3 +442,29 @@ def test_bcsr_pad_at_pack_time(rng):
     assert b16.tiles.dtype == jnp.bfloat16
 
 
+
+def test_spmm_int8_tiles(rng):
+    """int8 tiles (exact for unit/integer weights — the rank-1 degree
+    normalization factors into x/y scalings) match dense on both
+    kernels."""
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_to_dense
+
+    n, e = 500, 4000
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = np.ones(e, np.float32)
+    m = bcsr_from_coo(s, r, w, n, block=128, tile_dtype=jnp.int8,
+                      pad_rows_to=4)
+    assert m.tiles.dtype == jnp.int8
+    dense = np.zeros((m.num_nodes, m.num_nodes), np.float32)
+    np.add.at(dense, (r, s), w)
+    np.testing.assert_allclose(bcsr_to_dense(m), dense)
+    x = rng.standard_normal((m.num_nodes, 128)).astype(np.float32)
+    ref = dense @ x
+    y = np.asarray(spmm_bcsr(m, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, ref, rtol=5e-3, atol=5e-2)
+    from tpugraph.ops.pallas_spmm import spmm_bcsr_packed
+
+    y2 = np.asarray(spmm_bcsr_packed(m, jnp.asarray(x), k_pack=4,
+                                     interpret=True))
+    np.testing.assert_allclose(y2, ref, rtol=5e-3, atol=5e-2)

@@ -200,14 +200,14 @@ def bcsr_pack_fused(
 
     dt = jnp.dtype(tile_dtype)
     is_bf16 = dt == jnp.bfloat16
-    tiles = np.empty((t_total, block, block),
-                     dtype=dt if not is_bf16 else jnp.bfloat16)
+    is_i8 = dt == jnp.int8
+    tiles = np.empty((t_total, block, block), dtype=dt)
     col_blk = np.zeros(t_total, dtype=np.int32)
     row_of = np.zeros(t_total, dtype=np.int32)
     row_ptr = np.zeros(n_blocks + 1, dtype=np.int32)
     got = int(lib.bcsr_pack_v2(
         _ptr(rows, _I32P), _ptr(cols, _I32P), _ptr(weights, _F32P), e,
-        n_blocks, block, k_pack, 1 if is_bf16 else 0,
+        n_blocks, block, k_pack, 2 if is_i8 else (1 if is_bf16 else 0),
         tiles.ctypes.data_as(ctypes.c_void_p),
         _ptr(col_blk, _I32P), _ptr(row_of, _I32P), _ptr(row_ptr, _I32P),
         t_total,

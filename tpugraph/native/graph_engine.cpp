@@ -143,7 +143,10 @@ int64_t bcsr_count_tiles_v2(const int32_t* rows, const int32_t* cols,
 //   native f32 pack (2.8 GB) -> numpy bf16 cast -> numpy pad copy
 // with one pass.  Edges are counting-sorted by destination tile so each
 // tile accumulates in a small f32 scratch before one dtype conversion.
-// dtype: 0 = float32 out, 1 = bfloat16 out (uint16 buffer).
+// dtype: 0 = float32 out, 1 = bfloat16 out (uint16 buffer),
+//        2 = int8 out (round-to-nearest, saturating; exact for
+//            unit/integer-weight adjacencies -- the rank-1 degree
+//            normalization factors out into x/y scalings).
 // Returns emitted tile count, or -1 if t_total mismatches.
 int64_t bcsr_pack_v2(const int32_t* rows, const int32_t* cols, const float* w,
                      int64_t e, int32_t n_blocks, int32_t block,
@@ -228,7 +231,10 @@ int64_t bcsr_pack_v2(const int32_t* rows, const int32_t* cols, const float* w,
         for (int64_t s = 0; s < t_total; ++s) {
             int64_t lo = hist[s], hi = hist[s + 1];
             if (lo == hi) {  // dead slot: zero tile
-                if (dtype == 1)
+                if (dtype == 2)
+                    std::memset((int8_t*)tiles_out + s * tile_sz, 0,
+                                (size_t)tile_sz);
+                else if (dtype == 1)
                     std::memset((uint16_t*)tiles_out + s * tile_sz, 0,
                                 (size_t)tile_sz * 2);
                 else
@@ -242,7 +248,14 @@ int64_t bcsr_pack_v2(const int32_t* rows, const int32_t* cols, const float* w,
                 scratch[(int64_t)(rows[i] % block) * block
                         + (cols[i] % block)] += w[i];
             }
-            if (dtype == 1) {
+            if (dtype == 2) {
+                int8_t* out = (int8_t*)tiles_out + s * tile_sz;
+                for (int64_t j = 0; j < tile_sz; ++j) {
+                    float v = scratch[j];
+                    v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
+                    out[j] = (int8_t)lrintf(v);
+                }
+            } else if (dtype == 1) {
                 uint16_t* out = (uint16_t*)tiles_out + s * tile_sz;
                 // round-to-nearest-even on the raw bits; plain uint32
                 // loop so gcc auto-vectorizes it (built with

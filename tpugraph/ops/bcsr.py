@@ -110,7 +110,10 @@ def bcsr_from_coo(
         # then allocated at the compact size (a 20k-tile f32 intermediate
         # is ~5 GB; bf16 halves it)
         if tile_dtype is not None:
-            tiles_np = tiles_np.astype(jnp.dtype(tile_dtype))
+            dt = jnp.dtype(tile_dtype)
+            if dt == jnp.int8:
+                tiles_np = np.clip(np.rint(tiles_np), -127, 127)
+            tiles_np = tiles_np.astype(dt)
         counts = np.diff(row_ptr)
         k = pad_rows_to or 1
         if k > 1 or np.any(counts == 0):

@@ -52,6 +52,11 @@ def _spmm_kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
 
     tile = tiles_ref[0]
     x = x_ref[:]
+    if tile.dtype == jnp.int8:
+        # int8 tiles (exact for unit/integer weights): convert on the
+        # VPU, multiply at bf16 on the MXU — halves the dominant tile
+        # HBM stream again vs bf16
+        tile = tile.astype(jnp.bfloat16)
     if tile.dtype != x.dtype:
         x = x.astype(tile.dtype)  # bf16 tiles: bf16 x bf16 -> f32 on MXU
     out_ref[:] += jnp.dot(tile, x, preferred_element_type=jnp.float32)
@@ -74,6 +79,8 @@ def _spmm_kernel_cast_factory(num_tiles: int, out_dtype):
 
         tile = tiles_ref[0]
         x = x_ref[:]
+        if tile.dtype == jnp.int8:
+            tile = tile.astype(jnp.bfloat16)
         if tile.dtype != x.dtype:
             x = x.astype(tile.dtype)
         acc[:] += jnp.dot(tile, x, preferred_element_type=jnp.float32)
@@ -231,10 +238,13 @@ def _spmm_packed_kernel_factory(k_pack: int, block: int, d: int):
 
             dma(slot, j).wait()
             xv = xbuf[slot]
-            if xv.dtype != tiles_ref.dtype:
-                xv = xv.astype(tiles_ref.dtype)
+            tile = tiles_ref[j]
+            if tile.dtype == jnp.int8:
+                tile = tile.astype(jnp.bfloat16)
+            if xv.dtype != tile.dtype:
+                xv = xv.astype(tile.dtype)
             out_ref[:] += jnp.dot(
-                tiles_ref[j], xv, preferred_element_type=jnp.float32
+                tile, xv, preferred_element_type=jnp.float32
             )
 
         jax.lax.fori_loop(0, k_pack, body, None)
@@ -276,10 +286,13 @@ def _spmm_packed_kernel_cast_factory(k_pack: int, block: int, d: int,
 
             dma(slot, j).wait()
             xv = xbuf[slot]
-            if xv.dtype != tiles_ref.dtype:
-                xv = xv.astype(tiles_ref.dtype)
+            tile = tiles_ref[j]
+            if tile.dtype == jnp.int8:
+                tile = tile.astype(jnp.bfloat16)
+            if xv.dtype != tile.dtype:
+                xv = xv.astype(tile.dtype)
             acc[:] += jnp.dot(
-                tiles_ref[j], xv, preferred_element_type=jnp.float32
+                tile, xv, preferred_element_type=jnp.float32
             )
 
         jax.lax.fori_loop(0, k_pack, body, None)

@@ -184,6 +184,49 @@ class HaloPlan(NamedTuple):
     halo_size: int             # H
 
 
+def balance_partition(
+    receivers: np.ndarray, num_nodes: int, n_dev: int,
+    weights: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Degree-balancing node relabeling for contiguous node partitioning.
+
+    The halo plan shards nodes into contiguous ranges; on skewed (power-
+    law) graphs the hub-heavy range then owns several times the mean
+    edge count and — because the plan pads every device to the max —
+    every device pays for it (measured r3: max/mean 4.7 at 8 shards,
+    weak-scaling efficiency 0.24).  Dealing nodes to shards in a
+    descending-degree snake equalizes per-shard in-degree mass, so
+    contiguous ranges of the RELABELED ids are balanced.
+
+    Returns ``(perm, inv)`` with ``perm[new_id] = old_id``; relabel
+    edges as ``inv[senders]``/``inv[receivers]`` and node payloads as
+    ``payload[perm]`` before :func:`build_halo_plan`.
+    """
+    r = np.asarray(receivers)
+    if weights is not None:
+        live = np.asarray(weights) != 0
+        r = r[live]
+    deg = np.bincount(r, minlength=num_nodes)
+    n_pad = ((num_nodes + n_dev - 1) // n_dev) * n_dev
+    if n_pad > num_nodes:
+        deg = np.pad(deg, (0, n_pad - num_nodes))
+    order = np.argsort(-deg, kind="stable")  # descending degree
+    ns = n_pad // n_dev
+    # snake dealing: round j goes 0..n_dev-1 then n_dev-1..0
+    shard_seq = np.tile(
+        np.concatenate([np.arange(n_dev), np.arange(n_dev)[::-1]]),
+        (ns + 1) // 2 + 1,
+    )[:n_pad]
+    slot_seq = np.repeat(np.arange((n_pad + 2 * n_dev - 1) // (2 * n_dev) * 2),
+                         n_dev)[:n_pad]
+    new_ids = shard_seq * ns + slot_seq
+    perm = np.empty(n_pad, dtype=np.int64)
+    perm[new_ids] = order
+    inv = np.empty(n_pad, dtype=np.int64)
+    inv[perm] = np.arange(n_pad)
+    return perm, inv
+
+
 def build_halo_plan(g: Graph, n_dev: int) -> HaloPlan:
     """Precompute the boundary exchange: which of my nodes each peer
     needs, and how each of my edges finds its sender (locally or in the
