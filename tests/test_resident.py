@@ -1,0 +1,135 @@
+"""Tests for the VMEM-resident column-stacked SpMM kernel
+(`tpugraph/ops/pallas_resident.py`), interpret mode on CPU.
+
+Parity oracle: densified BCSR matmul (the reference computes the same
+aggregation densely, models.py:70).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_to_dense
+from tpugraph.ops.pallas_resident import (
+    BCSRStacked,
+    resident_fits,
+    spmm_stacked_resident,
+    stack_bcsr,
+    stacked_matvec,
+)
+
+
+def _random_graph(n, e, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = np.ones(e, np.float32)
+    return s, r, w
+
+
+@pytest.mark.parametrize("stack", [1, 2, 4])
+@pytest.mark.parametrize("dt", [None, jnp.bfloat16, jnp.int8])
+def test_resident_matches_dense(stack, dt):
+    n, e, d = 1024, 4000, 128
+    s, r, w = _random_graph(n, e)
+    x = np.random.default_rng(1).standard_normal((n, d)).astype(np.float32)
+
+    m_ref = bcsr_from_coo(s, r, w, n, block=256)
+    ref = bcsr_to_dense(m_ref) @ x
+
+    m = bcsr_from_coo(s, r, w, n, block=256, tile_dtype=dt, device=False)
+    st = stack_bcsr(m, stack=stack, k_pack=4)
+    assert st.num_tiles % 4 == 0
+    xd = jnp.asarray(x, dtype=jnp.bfloat16 if dt == jnp.bfloat16 else None)
+    y = np.asarray(spmm_stacked_resident(st, xd, k_pack=4, interpret=True))
+    tol = 1e-5 if dt is None else 2e-2
+    assert np.abs(y - ref).max() / np.abs(ref).max() < tol
+
+
+def test_stack_drops_dead_padding_tiles():
+    """pad_rows_to dead tiles in the source BCSR must not survive into
+    the stacked layout (they would dilute the stacks)."""
+    n, e = 1024, 2000
+    s, r, w = _random_graph(n, e, seed=3)
+    m_plain = bcsr_from_coo(s, r, w, n, block=256, device=False)
+    m_padded = bcsr_from_coo(s, r, w, n, block=256, pad_rows_to=4,
+                             device=False)
+    st_a = stack_bcsr(m_plain, stack=2, k_pack=2)
+    st_b = stack_bcsr(m_padded, stack=2, k_pack=2)
+    assert st_a.num_tiles == st_b.num_tiles
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, 128)).astype(np.float32)
+    )
+    ya = spmm_stacked_resident(st_a, x, k_pack=2, interpret=True)
+    yb = spmm_stacked_resident(st_b, x, k_pack=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-6)
+
+
+def test_stack_odd_column_groups():
+    """A column block with an odd tile count pads its last stack with a
+    zero half that must contribute nothing."""
+    n = 768  # 3 row blocks of 256 -> column groups of size 3 (odd)
+    block = 256
+    rng = np.random.default_rng(5)
+    # one edge in every (rb, cb) pair -> every column group has 3 tiles
+    rb, cb = np.meshgrid(np.arange(3), np.arange(3))
+    s = (cb.ravel() * block + rng.integers(0, block, 9)).astype(np.int32)
+    r = (rb.ravel() * block + rng.integers(0, block, 9)).astype(np.int32)
+    w = np.ones(9, np.float32)
+    m = bcsr_from_coo(s, r, w, n, block=block, device=False)
+    st = stack_bcsr(m, stack=2, k_pack=1)
+    assert st.num_tiles == 6  # ceil(3/2) * 3 columns
+    x = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+    y = spmm_stacked_resident(st, x, k_pack=1, interpret=True)
+    ref = bcsr_to_dense(m) @ np.asarray(x)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_graph():
+    m = bcsr_from_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.float32),
+        512, block=256, device=False,
+    )
+    st = stack_bcsr(m, stack=2, k_pack=4)
+    x = jnp.ones((512, 128), jnp.float32)
+    y = spmm_stacked_resident(st, x, k_pack=4, interpret=True)
+    assert float(jnp.abs(y).sum()) == 0.0
+
+
+def test_resident_fits_budget():
+    assert resident_fits(65536, 65536, 128, 2)          # the bench shape
+    assert not resident_fits(1_000_000, 1_000_000, 128, 2)
+
+
+def test_stacked_matvec_grad_matches_dense():
+    """Custom-VJP wrapper: dx must equal the dense A^T @ g."""
+    n, e, d = 512, 1500, 128
+    s, r, w = _random_graph(n, e, seed=7)
+    m = bcsr_from_coo(s, r, w, n, block=256, device=False)
+    m_t = bcsr_from_coo(r, s, w, n, block=256, device=False)
+    st = stack_bcsr(m, stack=2, k_pack=2)
+    st_t = stack_bcsr(m_t, stack=2, k_pack=2)
+    dense = bcsr_to_dense(m)
+    x = np.random.default_rng(2).standard_normal((n, d)).astype(np.float32)
+
+    def loss(xv):
+        y = stacked_matvec(st, st_t, xv, interpret=True, k_pack=2)
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    y_ref = dense @ x
+    g_ref = 2.0 * dense.T @ y_ref
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_stacked_pytree_roundtrip():
+    n, e = 512, 800
+    s, r, w = _random_graph(n, e, seed=9)
+    m = bcsr_from_coo(s, r, w, n, block=256, device=False)
+    st = stack_bcsr(m, stack=2, k_pack=2)
+    leaves, treedef = jax.tree_util.tree_flatten(st)
+    st2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(st2, BCSRStacked)
+    assert st2.stack == 2 and st2.block == 256

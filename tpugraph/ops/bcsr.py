@@ -86,9 +86,16 @@ def bcsr_from_coo(
     tile_dtype=None,
     pad_rows_to: Optional[int] = None,
     num_col_nodes: Optional[int] = None,
+    device: bool = True,
 ) -> BCSR:
     """Host-side COO -> BCSR conversion.  Convention matches
     ``ops.message.spmm``: entry (row=receiver, col=sender) = weight.
+
+    ``device=False`` keeps the arrays as numpy (no upload) — for callers
+    that post-process the layout on the host (e.g.
+    ``pallas_resident.stack_bcsr``) before uploading; pulling uploaded
+    tiles back through this platform's transfer tunnel costs minutes at
+    20k+ tiles.
 
     ``num_col_nodes`` makes the matrix rectangular: receivers (rows) live
     in ``[0, num_nodes)``, senders (columns, i.e. rows of ``x``) in
@@ -105,6 +112,8 @@ def bcsr_from_coo(
     :func:`coo_tile_counts` + :func:`choose_k_pack_counts`; a post-hoc
     :func:`bcsr_pad_rows` on a device-resident BCSR costs a fresh
     eager-scatter compile (or, worse, a multi-GB host round trip)."""
+    _wrap = jnp.asarray if device else (lambda a: a)
+
     def _finalize(tiles_np, col_blk, row_of, row_ptr):
         # cast to the compact dtype FIRST, pad second: the padded copy is
         # then allocated at the compact size (a 20k-tile f32 intermediate
@@ -126,10 +135,10 @@ def bcsr_from_coo(
             padded[dst] = tiles_np[: len(dst)]
             tiles_np = padded
         return BCSR(
-            tiles=jnp.asarray(tiles_np),
-            col_blk=jnp.asarray(col_blk),
-            row_ptr=jnp.asarray(row_ptr),
-            row_of=jnp.asarray(row_of),
+            tiles=_wrap(tiles_np),
+            col_blk=_wrap(col_blk),
+            row_ptr=_wrap(row_ptr),
+            row_of=_wrap(row_of),
             num_nodes=n_pad_c,
             block=block,
         )
@@ -166,10 +175,10 @@ def bcsr_from_coo(
                     if fused is not None:
                         tiles, col_blk, row_of, row_ptr, _ = fused
                         return BCSR(
-                            tiles=jnp.asarray(tiles),
-                            col_blk=jnp.asarray(col_blk),
-                            row_ptr=jnp.asarray(row_ptr),
-                            row_of=jnp.asarray(row_of),
+                            tiles=_wrap(tiles),
+                            col_blk=_wrap(col_blk),
+                            row_ptr=_wrap(row_ptr),
+                            row_of=_wrap(row_of),
                             num_nodes=n_pad_c,
                             block=block,
                         )

@@ -1,0 +1,293 @@
+"""VMEM-resident SpMM: the low-locality (power-law) fast path.
+
+The streaming BCSR kernels (``pallas_spmm.py``) DMA one ``[B, D]``
+x-block from HBM per tile.  On a locality-rich (banded) graph consecutive
+tiles share columns and the pipeline amortizes; on a scale-free graph the
+column sequence is effectively random, so the gather stream is as large
+as the tile stream itself (1.35 GB of x vs 1.35 GB of int8 tiles per
+SpMM at 65k nodes / 2.1M edges / D=128) and the kernel pins at the HBM
+roofline (r2/r3 bench: 4.11e8 edges/s).
+
+This kernel removes that stream entirely: the activations ``x`` AND the
+output accumulator live in VMEM for the whole grid (v5e VMEM is large
+enough for 65k x 128: x bf16 = 16.8 MB, out f32 = 33.5 MB), tiles are
+the only HBM traffic, streamed ``k_pack`` per grid step through the
+normal BlockSpec pipeline.  Because the output is fully resident there
+is **no row-ordering requirement at all** — no row_ptr, no CSR walk, no
+per-row zeroing: step 0 zeroes the accumulator and every tile
+read-modify-writes its row slice.
+
+The second lever is MXU geometry: an ``[M, K] @ [K, 128]`` with
+``M <= 256`` fills at most 2 of the 4 MXU output tiles (measured 25-58
+TFLOP/s bf16 regardless of scheduling).  Tiles that share a COLUMN block
+multiply the same x-slice, so we stack ``stack`` of them vertically into
+one ``[stack*B, B] @ [B, D]`` matmul — ``stack=2`` at B=256 gives M=512
+and full output-tile occupancy; the results scatter to ``stack``
+different row slices of the resident accumulator.
+
+Replaces the same op as ``pallas_spmm.spmm_bcsr`` (reference
+``models.py:70`` computes it densely); auto-selection between the two
+lives in the callers (bench / train fast path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugraph.ops.bcsr import BCSR
+
+LANES = 128
+
+# Budget passed to Mosaic; the resident buffers must fit under it
+# together with the streamed tile window.  v5e has 128 MiB of VMEM.
+_VMEM_LIMIT = 110 * 2**20
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@dataclasses.dataclass
+class BCSRStacked:
+    """Column-stacked BCSR: ``tiles[i]`` holds ``stack`` vertically
+    stacked ``[B, B]`` tiles that all read column block ``col_blk[i]``
+    and scatter to row blocks ``rows[i, 0..stack-1]``.  Tiles whose
+    column group had no partner are padded with zero tile-halves whose
+    row pointer repeats a real one (adds zero — harmless).
+
+    Pytree: arrays are data, ``num_nodes`` / ``num_row_nodes`` /
+    ``block`` / ``stack`` static."""
+
+    tiles: jax.Array     # [T, stack*B, B]  (bf16 / int8 / f32)
+    col_blk: jax.Array   # int32[T]
+    rows: jax.Array      # int32[T, stack]
+    num_nodes: int       # padded COLUMN count (rows of x)
+    num_row_nodes: int   # padded ROW count (rows of y)
+    block: int
+    stack: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    BCSRStacked,
+    data_fields=["tiles", "col_blk", "rows"],
+    meta_fields=["num_nodes", "num_row_nodes", "block", "stack"],
+)
+
+
+def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
+    """Host-side regrouping of a BCSR into the column-stacked layout.
+
+    Sorts tiles by (column block, row block), groups runs of equal
+    column into ``stack``-high stacks (padding odd remainders with zero
+    halves), and pads the stack count to a multiple of ``k_pack`` with
+    dead stacks.  Dead padding tiles already present in ``m`` (all-zero
+    values from ``pad_rows_to``) are dropped first."""
+    tiles = np.asarray(m.tiles)
+    row = np.asarray(m.row_of)
+    col = np.asarray(m.col_blk)
+
+    live = np.flatnonzero(np.any(tiles != 0, axis=(1, 2)))
+    tiles, row, col = tiles[live], row[live], col[live]
+    order = np.lexsort((row, col))
+    tiles, row, col = tiles[order], row[order], col[order]
+    t = len(row)
+    b = m.block
+
+    if t == 0:
+        t2p = k_pack
+        st_tiles = np.zeros((t2p, stack * b, b), dtype=tiles.dtype)
+        return BCSRStacked(
+            tiles=jnp.asarray(st_tiles),
+            col_blk=jnp.zeros((t2p,), jnp.int32),
+            rows=jnp.zeros((t2p, stack), jnp.int32),
+            num_nodes=m.num_nodes,
+            num_row_nodes=m.num_row_nodes,
+            block=b,
+            stack=stack,
+        )
+
+    grp_start = np.r_[0, np.flatnonzero(np.diff(col)) + 1]
+    sizes = np.diff(np.r_[grp_start, t])
+    pos = np.arange(t) - np.repeat(grp_start, sizes)
+    n_stacks = (sizes + stack - 1) // stack
+    stack_base = np.r_[0, np.cumsum(n_stacks)]
+    dst = np.repeat(stack_base[:-1], sizes) + pos // stack
+    lane = pos % stack
+    t2 = int(n_stacks.sum())
+    t2p = ((t2 + k_pack - 1) // k_pack) * k_pack
+
+    st_tiles = np.zeros((t2p, stack, b, b), dtype=tiles.dtype)
+    st_tiles[dst, lane] = tiles
+    del tiles
+    st_tiles = st_tiles.reshape(t2p, stack * b, b)
+
+    col2 = np.zeros((t2p,), np.int32)
+    col2[dst] = col
+    # every lane needs a VALID row pointer; unfilled lanes repeat lane 0
+    # of their stack (their tile half is zero, so they add nothing)
+    rows2 = np.zeros((t2p, stack), np.int32)
+    first = lane == 0
+    rows2[dst[first], 0] = row[first]
+    for s in range(1, stack):
+        rows2[:, s] = rows2[:, 0]
+        sel = lane == s
+        rows2[dst[sel], s] = row[sel]
+    return BCSRStacked(
+        tiles=jnp.asarray(st_tiles),
+        col_blk=jnp.asarray(col2),
+        rows=jnp.asarray(rows2),
+        num_nodes=m.num_nodes,
+        num_row_nodes=m.num_row_nodes,
+        block=b,
+        stack=stack,
+    )
+
+
+def _resident_kernel_factory(k_pack: int, block: int, stack: int):
+    def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        base = i * k_pack
+        for j in range(k_pack):
+            tile = tiles_ref[j]  # [stack*B, B]
+            if tile.dtype == jnp.int8:
+                tile = tile.astype(jnp.bfloat16)
+            xv = x_ref[pl.ds(col_ref[base + j] * block, block), :]
+            if xv.dtype != tile.dtype:
+                xv = xv.astype(tile.dtype)
+            acc = jnp.dot(tile, xv, preferred_element_type=jnp.float32)
+            for s in range(stack):
+                r0 = rows_ref[base + j, s] * block
+                out_ref[pl.ds(r0, block), :] += acc[s * block:(s + 1) * block]
+
+    return kernel
+
+
+def spmm_stacked_resident(
+    m: BCSRStacked,
+    x: jax.Array,
+    k_pack: int = 4,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``y = A @ x`` with A column-stacked and x/out VMEM-resident.
+
+    ``x`` is ``[num_nodes, D]`` (bf16 recommended — resident copy is
+    half the size and feeds the MXU directly); output is f32
+    ``[num_row_nodes, D]``.  Requires
+    ``num_nodes*D*x.itemsize + num_row_nodes*D*4`` well under VMEM
+    (~110 MB budget); callers fall back to the streaming kernels above
+    that size (see :func:`resident_fits`)."""
+    n, d = x.shape
+    assert n == m.num_nodes, (n, m.num_nodes)
+    assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
+    b = m.block
+    t = m.num_tiles
+    stack = m.stack
+    n_out = m.num_row_nodes
+    assert t % k_pack == 0, f"pad stacks to a multiple of {k_pack}"
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert resident_fits(n, n_out, d, x.dtype.itemsize), (
+        f"resident buffers exceed VMEM budget: x[{n},{d}] + out[{n_out},{d}]"
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t // k_pack,),
+        in_specs=[
+            pl.BlockSpec((k_pack, stack * b, b), lambda i, rows, col: (i, 0, 0)),
+            pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
+    )
+    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    return pl.pallas_call(
+        _resident_kernel_factory(k_pack, b, stack),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * stack * b * b * d,
+            bytes_accessed=t * stack * b * b * tile_b
+            + n * d * x.dtype.itemsize + n_out * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(m.rows, m.col_blk, m.tiles, x)
+
+
+def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
+                  slack_bytes: int = 8 * 2**20) -> bool:
+    """Whether the resident x + out accumulator fit the VMEM budget."""
+    return n * d * x_itemsize + n_out * d * 4 + slack_bytes < _VMEM_LIMIT
+
+
+# --------------------------------------------------------------------------
+# Differentiable wrapper (x-gradients): the training fast path.  The tile
+# values are constants here (adjacency); the explainer's tile-gradient
+# path stays on pallas_spmm.bcsr_matvec_dw (SDDMM needs the CSR layout).
+# --------------------------------------------------------------------------
+
+
+def stacked_matvec(st: BCSRStacked, st_t: BCSRStacked, x: jax.Array,
+                   interpret: Optional[bool] = None,
+                   k_pack: int = 4) -> jax.Array:
+    """Differentiable ``A @ x`` on the resident kernel; ``st_t`` holds the
+    stacked layout of ``A^T`` for the backward ``dx = A^T @ g``.  Pass
+    both as jit ARGUMENTS (see ``pallas_spmm.bcsr_matvec``)."""
+    return _stacked_matvec_vjp(st, st_t, x, interpret, k_pack)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _stacked_matvec_vjp(st, st_t, x, interpret, k_pack):
+    return spmm_stacked_resident(st, x, k_pack=k_pack, interpret=interpret)
+
+
+def _stacked_fwd(st, st_t, x, interpret, k_pack):
+    return (
+        spmm_stacked_resident(st, x, k_pack=k_pack, interpret=interpret),
+        (st, st_t),
+    )
+
+
+def _zero_cotangent(st: BCSRStacked):
+    def zero(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        if hasattr(a, "shape"):
+            return np.zeros(a.shape, jax.dtypes.float0)
+        return None
+
+    return jax.tree_util.tree_map(zero, st)
+
+
+def _stacked_bwd(interpret, k_pack, res, g):
+    st, st_t = res
+    dx = spmm_stacked_resident(
+        st_t, g.astype(jnp.bfloat16) if st_t.tiles.dtype != jnp.float32 else g,
+        k_pack=k_pack, interpret=interpret,
+    )
+    return (_zero_cotangent(st), _zero_cotangent(st_t), dx.astype(g.dtype))
+
+
+_stacked_matvec_vjp.defvjp(_stacked_fwd, _stacked_bwd)
