@@ -50,7 +50,10 @@ class Neighborhood(NamedTuple):
     """Masks describing a k-hop computation subgraph of a padded graph."""
 
     node_mask: jax.Array   # float32[N_pad] — nodes in the neighborhood
-    edge_mask: jax.Array   # float32[E_pad] — edges with both endpoints inside
+    edge_mask: jax.Array   # bool[E_pad] — edges with both endpoints inside
+                           #   (bool: a [Q, E_pad] batch of these rides the
+                           #   explainer vmap — 4 bytes/edge would be ~0.5 GB
+                           #   at 60 queries x 2M padded edges)
     num_nodes: jax.Array   # int32 — neighborhood size
     new_index: jax.Array   # int32 — rank of the query node among kept nodes
                            #   (reference explain.py:496 `node_idx_new`)
@@ -61,9 +64,9 @@ def khop_subgraph(g: Graph, node_idx: jax.Array, n_hops: int) -> Neighborhood:
     ``vmap``-able over query nodes)."""
     reach = khop_reachability(g, node_idx, n_hops)
     edge_keep = (
-        reach[g.senders]
-        * reach[g.receivers]
-        * (g.edge_weight != 0).astype(jnp.float32)
+        (reach[g.senders] > 0)
+        & (reach[g.receivers] > 0)
+        & (g.edge_weight != 0)
     )
     # Rank of the query node among kept nodes in ascending node order —
     # matches reference explain.py:496 (sum of the reachability row before

@@ -123,8 +123,8 @@ def masked_edge_weights(
     w = jnp.where(g.senders == g.receivers, 0.0, w)   # diag mask
     w = w * (g.edge_weight != 0)                       # padding stays dead
     if edge_keep is not None:
-        w = w * edge_keep
-    return w
+        w = w * edge_keep.astype(w.dtype)  # bool masks: 8x less HBM at
+    return w                               # the batched-query vmap width
 
 
 def mask_density(
@@ -133,7 +133,8 @@ def mask_density(
 ) -> jax.Array:
     """sum(masked_adj) / sum(adj) (reference ``explain.py:680-683``)."""
     w = masked_edge_weights(g, state, cfg, edge_keep)
-    base = g.edge_weight if edge_keep is None else g.edge_weight * edge_keep
+    base = (g.edge_weight if edge_keep is None
+            else g.edge_weight * edge_keep.astype(g.edge_weight.dtype))
     return jnp.sum(w) / jnp.maximum(jnp.sum(base), 1e-12)
 
 
@@ -218,7 +219,7 @@ def explain_loss(
     pair = jnp.minimum(g.edge_pair, state.edge_logits.shape[0] - 1)
     live = (g.edge_weight != 0).astype(jnp.float32)
     if edge_keep is not None:
-        live = live * edge_keep
+        live = live * edge_keep.astype(live.dtype)
     gate_on_edges = gate_e[pair]
     size_loss = cfg.coeff_size * jnp.sum(gate_on_edges * live)
     ent = _binary_ent(gate_on_edges)

@@ -72,7 +72,9 @@ class BCSRStacked:
 
     tiles: jax.Array     # [T, stack*B, B]  (bf16 / int8 / f32)
     col_blk: jax.Array   # int32[T]
-    rows: jax.Array      # int32[T, stack]
+    rows: jax.Array      # int32[T*stack] — lane-major flat (2-D scalar
+                         # prefetch arrays >= ~16 KB fail to compile on
+                         # this platform's Mosaic; 1-D works to 100 KB+)
     num_nodes: int       # padded COLUMN count (rows of x)
     num_row_nodes: int   # padded ROW count (rows of y)
     block: int
@@ -115,7 +117,7 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
         return BCSRStacked(
             tiles=jnp.asarray(st_tiles),
             col_blk=jnp.zeros((t2p,), jnp.int32),
-            rows=jnp.zeros((t2p, stack), jnp.int32),
+            rows=jnp.zeros((t2p * stack,), jnp.int32),
             num_nodes=m.num_nodes,
             num_row_nodes=m.num_row_nodes,
             block=b,
@@ -151,7 +153,7 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
     return BCSRStacked(
         tiles=jnp.asarray(st_tiles),
         col_blk=jnp.asarray(col2),
-        rows=jnp.asarray(rows2),
+        rows=jnp.asarray(rows2.reshape(-1)),
         num_nodes=m.num_nodes,
         num_row_nodes=m.num_row_nodes,
         block=b,
@@ -177,7 +179,7 @@ def _resident_kernel_factory(k_pack: int, block: int, stack: int):
                 xv = xv.astype(tile.dtype)
             acc = jnp.dot(tile, xv, preferred_element_type=jnp.float32)
             for s in range(stack):
-                r0 = rows_ref[base + j, s] * block
+                r0 = rows_ref[(base + j) * stack + s] * block
                 out_ref[pl.ds(r0, block), :] += acc[s * block:(s + 1) * block]
 
     return kernel
