@@ -133,3 +133,59 @@ def test_stacked_pytree_roundtrip():
     st2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(st2, BCSRStacked)
     assert st2.stack == 2 and st2.block == 256
+
+
+def test_int4_packed_matches_dense():
+    n, e, d = 1024, 4000, 128
+    s, r, w = _random_graph(n, e, seed=11)
+    m_ref = bcsr_from_coo(s, r, w, n, block=256)
+    x = np.random.default_rng(4).standard_normal((n, d)).astype(np.float32)
+    ref = bcsr_to_dense(m_ref) @ x
+
+    m = bcsr_from_coo(s, r, w, n, block=256, tile_dtype=jnp.int8,
+                      device=False)
+    from tpugraph.ops.pallas_resident import pack_stacked_int4
+    st = pack_stacked_int4(stack_bcsr(m, stack=2, k_pack=4))
+    assert st.packed4 and st.tiles.shape[-1] == 128
+    y = np.asarray(spmm_stacked_resident(st, jnp.asarray(x), k_pack=4,
+                                         interpret=True))
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_int4_rejects_out_of_range():
+    n = 512
+    s = np.array([0, 1], np.int32)
+    r = np.array([1, 0], np.int32)
+    w = np.array([20.0, 1.0], np.float32)  # 20 > 15
+    m = bcsr_from_coo(s, r, w, n, block=256, device=False)
+    from tpugraph.ops.pallas_resident import pack_stacked_int4
+    st = stack_bcsr(m, stack=2, k_pack=1)
+    with pytest.raises(ValueError):
+        pack_stacked_int4(st)
+
+
+@pytest.mark.parametrize("dt", [None, jnp.int8])
+def test_kres_matches_dense(dt):
+    from tpugraph.ops.pallas_resident import kmerge_bcsr, spmm_kres
+
+    n, e, d = 1024, 4000, 128
+    s, r, w = _random_graph(n, e, seed=13)
+    x = np.random.default_rng(6).standard_normal((n, d)).astype(np.float32)
+    ref = bcsr_to_dense(bcsr_from_coo(s, r, w, n, block=256)) @ x
+    m = bcsr_from_coo(s, r, w, n, block=256, tile_dtype=dt, pad_rows_to=4,
+                      device=False)
+    mk = kmerge_bcsr(m, 4)
+    y = np.asarray(spmm_kres(mk, jnp.asarray(x), interpret=True))
+    tol = 1e-5 if dt is None else 2e-2
+    assert np.abs(y - ref).max() / np.abs(ref).max() < tol
+
+
+def test_kres_rejects_unpadded():
+    from tpugraph.ops.pallas_resident import kmerge_bcsr
+
+    n, e = 1024, 500
+    s, r, w = _random_graph(n, e, seed=15)
+    m = bcsr_from_coo(s, r, w, n, block=256, device=False)  # no pad_rows_to
+    if m.num_tiles % 4 != 0:
+        with pytest.raises(AssertionError):
+            kmerge_bcsr(m, 4)

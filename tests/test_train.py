@@ -136,3 +136,37 @@ def test_train_node_bcsr_path():
     # node padding may have grown to the BCSR block multiple
     assert out["ypred"].shape[1] >= g.num_nodes_padded
     assert out["history"]["loss"][-1] < out["history"]["loss"][0]
+
+
+def test_train_node_bcsr_resident_path():
+    """bcsr_resident="on" trains through the VMEM-resident stacked kernel
+    (ops/pallas_resident, interpret mode off-TPU) and matches the
+    learning behavior of the streaming BCSR path."""
+    G, labels, _ = gengraph.gen_syn1(
+        nb_shapes=8,
+        width_basis=40,
+        feature_generator=featgen.ConstFeatureGen(np.ones(10, np.float32)),
+        seed=3,
+    )
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    model = GcnEncoderNode(
+        input_dim=10, hidden_dim=8, embedding_dim=8,
+        label_dim=int(max(labels)) + 1, num_layers=3,
+    )
+    cfg = TrainConfig(num_epochs=40, scan_chunk=20, use_bcsr=True,
+                      bcsr_resident="on")
+    out = train_node_classifier(model, g, feat, np.asarray(labels), cfg, seed=0)
+    assert np.all(np.isfinite(out["history"]["loss"]))
+    assert out["history"]["loss"][-1] < out["history"]["loss"][0]
+    # loss trajectory must track the streaming-kernel path (same math,
+    # int8 tiles are exact for this unit-weight adjacency)
+    cfg_s = TrainConfig(num_epochs=40, scan_chunk=20, use_bcsr=True,
+                        bcsr_resident="off")
+    out_s = train_node_classifier(model, g, feat, np.asarray(labels), cfg_s,
+                                  seed=0)
+    np.testing.assert_allclose(
+        np.asarray(out["history"]["loss"]),
+        np.asarray(out_s["history"]["loss"]),
+        rtol=2e-2, atol=2e-3,
+    )

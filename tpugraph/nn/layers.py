@@ -137,7 +137,33 @@ jax.tree_util.register_dataclass(
 )
 
 
-Adjacency = Union[jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj]
+@_dataclasses.dataclass
+class StackedAdj:
+    """VMEM-resident column-stacked adjacency
+    (``tpugraph.ops.pallas_resident``): x and the output accumulator stay
+    in VMEM for the whole kernel grid, so the only HBM stream is the
+    (int8/bf16) tiles — the fast path for low-locality (power-law)
+    graphs, where the streaming kernels' per-tile x gather is as large as
+    the tile stream itself.  STATIC weights only (training aggregation);
+    the explainer/GAT tile-gradient paths stay on :class:`BCSRAdj`.
+    Gate on ``pallas_resident.resident_fits`` (x + out must fit VMEM).
+    """
+
+    st: "object"          # BCSRStacked of A
+    st_t: "object"        # BCSRStacked of A^T (backward dx)
+    k_pack: int = 16      # static: tiles per grid step
+
+
+jax.tree_util.register_dataclass(
+    StackedAdj,
+    data_fields=["st", "st_t"],
+    meta_fields=["k_pack"],
+)
+
+
+Adjacency = Union[
+    jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj, StackedAdj
+]
 
 
 class GraphConv(nn.Module):
@@ -227,6 +253,23 @@ class GraphConv(nn.Module):
                     adj.m, adj.m_t, x_p, k_pack=adj.k_pack or None
                 )[:, :d_in]
                 adj_att = adj
+        elif isinstance(adj, StackedAdj):
+            from tpugraph.ops.pallas_resident import stacked_matvec
+            from tpugraph.ops.pallas_spmm import LANES
+
+            if self.att:
+                raise NotImplementedError(
+                    "GAT attention needs tile gradients — use BCSRAdj "
+                    "with a transpose plan on the attention path"
+                )
+            d_in = x.shape[-1]
+            d_pad = ((d_in + LANES - 1) // LANES) * LANES
+            x_p = x
+            if d_pad != d_in:
+                x_p = jnp.pad(x, ((0, 0), (0, d_pad - d_in)))
+            y = stacked_matvec(adj.st, adj.st_t, x_p,
+                               k_pack=adj.k_pack)[:, :d_in]
+            adj_att = adj
         elif isinstance(adj, HaloBCSRAdj):
             # Boundary-only halo exchange + per-shard Pallas BCSR SpMM:
             # the multi-chip path at MXU-kernel speed (one all_to_all of

@@ -265,13 +265,14 @@ def bcsr_transpose_host(
     pad_tiles_to: Optional[int] = None,
     tile_dtype=None,
     pad_rows_to: Optional[int] = None,
+    device: bool = True,
 ) -> BCSR:
     """BCSR of A^T (for the backward pass dX = A^T @ dY).  For symmetric
     graph adjacencies A^T == A, but masked/attention weights break
     symmetry in general."""
     return bcsr_from_coo(
         receivers, senders, weights, num_nodes, block, pad_tiles_to,
-        tile_dtype=tile_dtype, pad_rows_to=pad_rows_to,
+        tile_dtype=tile_dtype, pad_rows_to=pad_rows_to, device=device,
     )
 
 

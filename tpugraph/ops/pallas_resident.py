@@ -70,7 +70,8 @@ class BCSRStacked:
     Pytree: arrays are data, ``num_nodes`` / ``num_row_nodes`` /
     ``block`` / ``stack`` static."""
 
-    tiles: jax.Array     # [T, stack*B, B]  (bf16 / int8 / f32)
+    tiles: jax.Array     # [T, stack*B, B]  (bf16 / int8 / f32), or
+                         # [T, stack*B, B//2] int8 when packed4
     col_blk: jax.Array   # int32[T]
     rows: jax.Array      # int32[T*stack] — lane-major flat (2-D scalar
                          # prefetch arrays >= ~16 KB fail to compile on
@@ -79,6 +80,12 @@ class BCSRStacked:
     num_row_nodes: int   # padded ROW count (rows of y)
     block: int
     stack: int
+    packed4: bool = False  # int4 nibble packing: byte (r, c) holds
+                           # col c (lo nibble) and col c+B//2 (hi) —
+                           # halves being contiguous means expansion is
+                           # two shift/and slabs + a lane concat, no
+                           # cross-lane interleave.  Exact for integer
+                           # weights in [0, 15] (unit adjacencies).
 
     @property
     def num_tiles(self) -> int:
@@ -88,8 +95,29 @@ class BCSRStacked:
 jax.tree_util.register_dataclass(
     BCSRStacked,
     data_fields=["tiles", "col_blk", "rows"],
-    meta_fields=["num_nodes", "num_row_nodes", "block", "stack"],
+    meta_fields=["num_nodes", "num_row_nodes", "block", "stack", "packed4"],
 )
+
+
+def pack_stacked_int4(st: BCSRStacked) -> BCSRStacked:
+    """Nibble-pack a stacked layout whose tile values are integers in
+    [0, 15] (host-side).  Halves the tile HBM stream again vs int8 — on
+    the power-law bench that stream is what keeps the resident kernel off
+    the MXU roofline."""
+    tiles = np.asarray(st.tiles)
+    if tiles.dtype != np.int8:
+        t32 = np.rint(tiles.astype(np.float32)).astype(np.int32)
+    else:
+        t32 = tiles.astype(np.int32)
+    if t32.min(initial=0) < 0 or t32.max(initial=0) > 15:
+        raise ValueError("int4 packing needs integer weights in [0, 15]")
+    h = st.block // 2
+    lo = t32[:, :, :h]
+    hi = t32[:, :, h:]
+    packed = (lo | (hi << 4)).astype(np.int8)
+    return dataclasses.replace(
+        st, tiles=jnp.asarray(packed), packed4=True
+    )
 
 
 def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
@@ -161,7 +189,8 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
     )
 
 
-def _resident_kernel_factory(k_pack: int, block: int, stack: int):
+def _resident_kernel_factory(k_pack: int, block: int, stack: int,
+                             packed4: bool = False):
     def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref):
         i = pl.program_id(0)
 
@@ -171,8 +200,15 @@ def _resident_kernel_factory(k_pack: int, block: int, stack: int):
 
         base = i * k_pack
         for j in range(k_pack):
-            tile = tiles_ref[j]  # [stack*B, B]
-            if tile.dtype == jnp.int8:
+            tile = tiles_ref[j]  # [stack*B, B] (or [stack*B, B//2] int4)
+            if packed4:
+                v = tile.astype(jnp.int32) & 0xFF
+                tile = jnp.concatenate(
+                    [(v & 0xF).astype(jnp.bfloat16),
+                     ((v >> 4) & 0xF).astype(jnp.bfloat16)],
+                    axis=1,
+                )
+            elif tile.dtype == jnp.int8:
                 tile = tile.astype(jnp.bfloat16)
             xv = x_ref[pl.ds(col_ref[base + j] * block, block), :]
             if xv.dtype != tile.dtype:
@@ -213,23 +249,25 @@ def spmm_stacked_resident(
         f"resident buffers exceed VMEM budget: x[{n},{d}] + out[{n_out},{d}]"
     )
 
+    tile_cols = b // 2 if m.packed4 else b
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t // k_pack,),
         in_specs=[
-            pl.BlockSpec((k_pack, stack * b, b), lambda i, rows, col: (i, 0, 0)),
+            pl.BlockSpec((k_pack, stack * b, tile_cols),
+                         lambda i, rows, col: (i, 0, 0)),
             pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
         ],
         out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
     )
     tile_b = jnp.dtype(m.tiles.dtype).itemsize
     return pl.pallas_call(
-        _resident_kernel_factory(k_pack, b, stack),
+        _resident_kernel_factory(k_pack, b, stack, m.packed4),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * stack * b * b * d,
-            bytes_accessed=t * stack * b * b * tile_b
+            bytes_accessed=t * stack * b * tile_cols * tile_b
             + n * d * x.dtype.itemsize + n_out * d * 4,
             transcendentals=0,
         ),
@@ -242,6 +280,138 @@ def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
                   slack_bytes: int = 8 * 2**20) -> bool:
     """Whether the resident x + out accumulator fit the VMEM budget."""
     return n * d * x_itemsize + n_out * d * 4 + slack_bytes < _VMEM_LIMIT
+
+
+# --------------------------------------------------------------------------
+# K-merged CSR variant: one [B, kp*B] @ [kp*B, D] dot per grid step.
+# Same resident-x idea, but tiles are row-grouped (CSR) and laid out
+# side-by-side so each grid step issues ONE deep-K matmul — deeper K
+# amortizes MXU pipeline startup, the last efficiency lever once the
+# dense-FLOP floor is reached (blocking-invariant ~350 GFLOP/SpMM on the
+# power-law bench).  Output accumulates in a revisited [B, D] block (no
+# full-output RMW).  Requires per-row-block tile counts padded to kp
+# (``bcsr_from_coo(pad_rows_to=kp)``).
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BCSRK:
+    """Row-grouped K-merged layout: ``tiles[g]`` holds ``kp`` tiles of one
+    row block side-by-side (``[B, kp*B]``); ``col_blk[g*kp + j]`` their
+    column blocks; ``row_of[g]`` the common row block."""
+
+    tiles: jax.Array    # [G, B, kp*B]
+    col_blk: jax.Array  # int32[G*kp]
+    row_of: jax.Array   # int32[G]
+    num_nodes: int
+    num_row_nodes: int
+    block: int
+    kp: int
+
+    @property
+    def num_groups(self) -> int:
+        return self.tiles.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    BCSRK,
+    data_fields=["tiles", "col_blk", "row_of"],
+    meta_fields=["num_nodes", "num_row_nodes", "block", "kp"],
+)
+
+
+def kmerge_bcsr(m: BCSR, kp: int) -> BCSRK:
+    """Host-side regrouping of a row-padded BCSR (``pad_rows_to=kp``)
+    into the K-merged layout."""
+    tiles = np.asarray(m.tiles)
+    t, b, _ = tiles.shape
+    assert t % kp == 0, "pad rows to a multiple of kp first"
+    g = t // kp
+    row_of = np.asarray(m.row_of)
+    grp_rows = row_of[::kp]
+    assert np.all(row_of.reshape(g, kp) == grp_rows[:, None]), (
+        "tiles of one group must share a row block (pad_rows_to)"
+    )
+    merged = np.ascontiguousarray(
+        tiles.reshape(g, kp, b, b).transpose(0, 2, 1, 3).reshape(g, b, kp * b)
+    )
+    return BCSRK(
+        tiles=jnp.asarray(merged),
+        col_blk=jnp.asarray(np.asarray(m.col_blk)),
+        row_of=jnp.asarray(grp_rows.astype(np.int32)),
+        num_nodes=m.num_nodes,
+        num_row_nodes=m.num_row_nodes,
+        block=m.block,
+        kp=kp,
+    )
+
+
+def _kres_kernel_factory(kp: int, block: int, num_groups: int):
+    def kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+        row = row_ref[i]
+        prev = row_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, row != prev)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        tile = tiles_ref[0]  # [B, kp*B]
+        if tile.dtype == jnp.int8:
+            tile = tile.astype(jnp.bfloat16)
+        base = i * kp
+        xcat = jnp.concatenate(
+            [x_ref[pl.ds(col_ref[base + j] * block, block), :]
+             for j in range(kp)],
+            axis=0,
+        )
+        if xcat.dtype != tile.dtype:
+            xcat = xcat.astype(tile.dtype)
+        out_ref[:] += jnp.dot(tile, xcat,
+                              preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def spmm_kres(m: BCSRK, x: jax.Array,
+              interpret: Optional[bool] = None) -> jax.Array:
+    """``y = A @ x``, K-merged CSR layout, x VMEM-resident, output
+    accumulated in a revisited ``[B, D]`` block."""
+    n, d = x.shape
+    assert n == m.num_nodes, (n, m.num_nodes)
+    assert d % LANES == 0
+    b = m.block
+    g = m.num_groups
+    kp = m.kp
+    n_out = m.num_row_nodes
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert n * d * x.dtype.itemsize + 8 * 2**20 < _VMEM_LIMIT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, b, kp * b), lambda i, row, col: (i, 0, 0)),
+            pl.BlockSpec((n, d), lambda i, row, col: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i], 0)),
+    )
+    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    return pl.pallas_call(
+        _kres_kernel_factory(kp, b, g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * kp * b * b * d,
+            bytes_accessed=g * kp * b * b * tile_b
+            + n * d * x.dtype.itemsize + n_out * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(m.row_of, m.col_blk, m.tiles, x)
 
 
 # --------------------------------------------------------------------------
@@ -284,11 +454,11 @@ def _zero_cotangent(st: BCSRStacked):
 
 
 def _stacked_bwd(interpret, k_pack, res, g):
+    # g passes through at its own dtype; the kernel casts per-tile on the
+    # VPU when tiles are bf16/int8 (f32-resident g costs VMEM, not
+    # precision — keep training gradients exact)
     st, st_t = res
-    dx = spmm_stacked_resident(
-        st_t, g.astype(jnp.bfloat16) if st_t.tiles.dtype != jnp.float32 else g,
-        k_pack=k_pack, interpret=interpret,
-    )
+    dx = spmm_stacked_resident(st_t, g, k_pack=k_pack, interpret=interpret)
     return (_zero_cotangent(st), _zero_cotangent(st_t), dx.astype(g.dtype))
 
 

@@ -54,6 +54,10 @@ class TrainConfig:
     bcsr_block: int = 128   # BCSR tile size (128 or 256; see bench.py)
     bcsr_k_pack: int = 0    # packed kernel: 0 = off (fastest for f32
                             # tiles), >1 = fixed k, -1 = auto (choose_k_pack)
+    bcsr_resident: str = "auto"  # VMEM-resident stacked kernel
+                            # (ops/pallas_resident): "auto" = use when
+                            # x+out fit VMEM (the low-locality fast
+                            # path), "on" / "off" to force
 
 
 def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> OptimizerConfig:
@@ -135,19 +139,52 @@ def train_node_classifier(
         # tiles (+19%, bench.py) but measured SLOWER for this f32 training
         # path (33.3 vs 37.5 epochs/s at 65k/256-block) — BlockSpec
         # pipelining already saturates f32 tile bandwidth.
-        if cfg.bcsr_k_pack < 0:
-            kp = choose_k_pack_counts(
-                coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block,
-                                weights=w_np)
+        from tpugraph.nn.layers import StackedAdj
+        from tpugraph.ops.pallas_resident import resident_fits, stack_bcsr
+
+        n_pad_blk = ((n_pad + cfg.bcsr_block - 1)
+                     // cfg.bcsr_block) * cfg.bcsr_block
+        d_est = max(128, ((feat.shape[1] + 127) // 128) * 128)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        want_res = cfg.bcsr_resident == "on" or (
+            cfg.bcsr_resident == "auto" and on_tpu
+            and resident_fits(n_pad_blk, n_pad_blk, d_est, 4)
+        )
+        if want_res:
+            # VMEM-resident stacked path: int8 tiles when the weights are
+            # exactly integer (unit adjacencies; rank-1 degree
+            # normalizations factor into x/y scalings), bf16 otherwise
+            integral = bool(
+                np.all(w_np == np.rint(w_np)) and np.abs(w_np).max(initial=0) <= 127
             )
+            tdt = jnp.int8 if integral else jnp.bfloat16
+            kp_res = 16
+            m_host = bcsr_from_coo(s_np, r_np, w_np, n_pad,
+                                   block=cfg.bcsr_block, tile_dtype=tdt,
+                                   device=False)
+            m_t_host = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
+                                           block=cfg.bcsr_block,
+                                           tile_dtype=tdt, device=False)
+            sp = StackedAdj(
+                st=stack_bcsr(m_host, stack=2, k_pack=kp_res),
+                st_t=stack_bcsr(m_t_host, stack=2, k_pack=kp_res),
+                k_pack=kp_res,
+            )
+            m = m_host  # node-padding bookkeeping below
         else:
-            kp = cfg.bcsr_k_pack
-        prt = kp if kp > 1 else None
-        m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block,
-                          pad_rows_to=prt)
-        m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
-                                  block=cfg.bcsr_block, pad_rows_to=prt)
-        sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
+            if cfg.bcsr_k_pack < 0:
+                kp = choose_k_pack_counts(
+                    coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block,
+                                    weights=w_np)
+                )
+            else:
+                kp = cfg.bcsr_k_pack
+            prt = kp if kp > 1 else None
+            m = bcsr_from_coo(s_np, r_np, w_np, n_pad, block=cfg.bcsr_block,
+                              pad_rows_to=prt)
+            m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
+                                      block=cfg.bcsr_block, pad_rows_to=prt)
+            sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
         if m.num_nodes > n_pad:
             extra = m.num_nodes - n_pad
             feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
