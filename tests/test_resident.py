@@ -162,30 +162,3 @@ def test_int4_rejects_out_of_range():
     st = stack_bcsr(m, stack=2, k_pack=1)
     with pytest.raises(ValueError):
         pack_stacked_int4(st)
-
-
-@pytest.mark.parametrize("dt", [None, jnp.int8])
-def test_kres_matches_dense(dt):
-    from tpugraph.ops.pallas_resident import kmerge_bcsr, spmm_kres
-
-    n, e, d = 1024, 4000, 128
-    s, r, w = _random_graph(n, e, seed=13)
-    x = np.random.default_rng(6).standard_normal((n, d)).astype(np.float32)
-    ref = bcsr_to_dense(bcsr_from_coo(s, r, w, n, block=256)) @ x
-    m = bcsr_from_coo(s, r, w, n, block=256, tile_dtype=dt, pad_rows_to=4,
-                      device=False)
-    mk = kmerge_bcsr(m, 4)
-    y = np.asarray(spmm_kres(mk, jnp.asarray(x), interpret=True))
-    tol = 1e-5 if dt is None else 2e-2
-    assert np.abs(y - ref).max() / np.abs(ref).max() < tol
-
-
-def test_kres_rejects_unpadded():
-    from tpugraph.ops.pallas_resident import kmerge_bcsr
-
-    n, e = 1024, 500
-    s, r, w = _random_graph(n, e, seed=15)
-    m = bcsr_from_coo(s, r, w, n, block=256, device=False)  # no pad_rows_to
-    if m.num_tiles % 4 != 0:
-        with pytest.raises(AssertionError):
-            kmerge_bcsr(m, 4)

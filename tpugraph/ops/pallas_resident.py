@@ -282,135 +282,12 @@ def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
 
 
 # --------------------------------------------------------------------------
-# K-merged CSR variant: one [B, kp*B] @ [kp*B, D] dot per grid step.
-# Same resident-x idea, but tiles are row-grouped (CSR) and laid out
-# side-by-side so each grid step issues ONE deep-K matmul — deeper K
-# amortizes MXU pipeline startup, the last efficiency lever once the
-# dense-FLOP floor is reached (blocking-invariant ~350 GFLOP/SpMM on the
-# power-law bench).  Output accumulates in a revisited [B, D] block (no
-# full-output RMW).  Requires per-row-block tile counts padded to kp
-# (``bcsr_from_coo(pad_rows_to=kp)``).
+# (A K-merged CSR variant — one deep-K [B, kp*B] @ [kp*B, D] dot per grid
+# step from resident x — was built and measured here in r3: 7.87e8 edges/s
+# powerlaw vs 9.07e8 for the stacked kernel above.  Deeper K did not lift
+# MXU efficiency, so it was deleted per the adopt-or-delete rule; see
+# BASELINE_MEASURED.md "Round-3 resident-kernel push".)
 # --------------------------------------------------------------------------
-
-
-@dataclasses.dataclass
-class BCSRK:
-    """Row-grouped K-merged layout: ``tiles[g]`` holds ``kp`` tiles of one
-    row block side-by-side (``[B, kp*B]``); ``col_blk[g*kp + j]`` their
-    column blocks; ``row_of[g]`` the common row block."""
-
-    tiles: jax.Array    # [G, B, kp*B]
-    col_blk: jax.Array  # int32[G*kp]
-    row_of: jax.Array   # int32[G]
-    num_nodes: int
-    num_row_nodes: int
-    block: int
-    kp: int
-
-    @property
-    def num_groups(self) -> int:
-        return self.tiles.shape[0]
-
-
-jax.tree_util.register_dataclass(
-    BCSRK,
-    data_fields=["tiles", "col_blk", "row_of"],
-    meta_fields=["num_nodes", "num_row_nodes", "block", "kp"],
-)
-
-
-def kmerge_bcsr(m: BCSR, kp: int) -> BCSRK:
-    """Host-side regrouping of a row-padded BCSR (``pad_rows_to=kp``)
-    into the K-merged layout."""
-    tiles = np.asarray(m.tiles)
-    t, b, _ = tiles.shape
-    assert t % kp == 0, "pad rows to a multiple of kp first"
-    g = t // kp
-    row_of = np.asarray(m.row_of)
-    grp_rows = row_of[::kp]
-    assert np.all(row_of.reshape(g, kp) == grp_rows[:, None]), (
-        "tiles of one group must share a row block (pad_rows_to)"
-    )
-    merged = np.ascontiguousarray(
-        tiles.reshape(g, kp, b, b).transpose(0, 2, 1, 3).reshape(g, b, kp * b)
-    )
-    return BCSRK(
-        tiles=jnp.asarray(merged),
-        col_blk=jnp.asarray(np.asarray(m.col_blk)),
-        row_of=jnp.asarray(grp_rows.astype(np.int32)),
-        num_nodes=m.num_nodes,
-        num_row_nodes=m.num_row_nodes,
-        block=m.block,
-        kp=kp,
-    )
-
-
-def _kres_kernel_factory(kp: int, block: int, num_groups: int):
-    def kernel(row_ref, col_ref, tiles_ref, x_ref, out_ref):
-        i = pl.program_id(0)
-        row = row_ref[i]
-        prev = row_ref[jnp.maximum(i - 1, 0)]
-        is_first = jnp.logical_or(i == 0, row != prev)
-
-        @pl.when(is_first)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        tile = tiles_ref[0]  # [B, kp*B]
-        if tile.dtype == jnp.int8:
-            tile = tile.astype(jnp.bfloat16)
-        base = i * kp
-        xcat = jnp.concatenate(
-            [x_ref[pl.ds(col_ref[base + j] * block, block), :]
-             for j in range(kp)],
-            axis=0,
-        )
-        if xcat.dtype != tile.dtype:
-            xcat = xcat.astype(tile.dtype)
-        out_ref[:] += jnp.dot(tile, xcat,
-                              preferred_element_type=jnp.float32)
-
-    return kernel
-
-
-def spmm_kres(m: BCSRK, x: jax.Array,
-              interpret: Optional[bool] = None) -> jax.Array:
-    """``y = A @ x``, K-merged CSR layout, x VMEM-resident, output
-    accumulated in a revisited ``[B, D]`` block."""
-    n, d = x.shape
-    assert n == m.num_nodes, (n, m.num_nodes)
-    assert d % LANES == 0
-    b = m.block
-    g = m.num_groups
-    kp = m.kp
-    n_out = m.num_row_nodes
-    if interpret is None:
-        interpret = not _on_tpu()
-    assert n * d * x.dtype.itemsize + 8 * 2**20 < _VMEM_LIMIT
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, b, kp * b), lambda i, row, col: (i, 0, 0)),
-            pl.BlockSpec((n, d), lambda i, row, col: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((b, d), lambda i, row, col: (row[i], 0)),
-    )
-    tile_b = jnp.dtype(m.tiles.dtype).itemsize
-    return pl.pallas_call(
-        _kres_kernel_factory(kp, b, g),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * g * kp * b * b * d,
-            bytes_accessed=g * kp * b * b * tile_b
-            + n * d * x.dtype.itemsize + n_out * d * 4,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(m.row_of, m.col_blk, m.tiles, x)
 
 
 # --------------------------------------------------------------------------
