@@ -542,20 +542,20 @@ def main() -> None:
     # power-law topology (9.07e8 edges/s, 2.2x the streaming dense-tile
     # path).  int8 is exact here (unit weights; degree normalizations
     # factor into x/y scalings — see ops/bcsr.py).
-    KP_RES = 64 if on_tpu else 4
+    KP_RES = 256 if on_tpu else 4
 
     res_eps, res_pack_s = None, None
     if resident_fits(m2.num_nodes, m2.num_nodes, d):
         tpk = time.perf_counter()
         m2_host = bcsr_from_coo(s2o, r2o, w2, n_r, block=block,
                                 tile_dtype=jnp.int8, device=False)
-        st2 = stack_bcsr(m2_host, stack=2, k_pack=KP_RES)
+        st2 = stack_bcsr(m2_host, stack=1, k_pack=KP_RES)
         jax.block_until_ready(st2.tiles)
         res_pack_s = time.perf_counter() - tpk
-        log(f"powerlaw resident pack+stack+upload: {res_pack_s:.1f}s "
-            f"({st2.num_tiles} stacks of 2x{block}^2 int8)")
+        log(f"powerlaw resident pack+upload: {res_pack_s:.1f}s "
+            f"({st2.num_tiles} tiles of {block}^2 int8)")
         t_res, cks_res = run(
-            f"resident-powerlaw-s2-int8-kp{KP_RES}",
+            f"resident-powerlaw-s1-int8-kp{KP_RES}",
             partial(chained_resident, kp=KP_RES), (st2, x2),
         )
         res_eps = 2 * n_edges2 / t_res

@@ -130,13 +130,37 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
     tiles = np.asarray(m.tiles)
     row = np.asarray(m.row_of)
     col = np.asarray(m.col_blk)
+    b = m.block
+
+    if stack == 1:
+        # No pairing, and the resident kernel has NO ordering requirement
+        # (the output accumulator is whole-array resident): reuse the
+        # packer's layout as-is, just pad the tile count to k_pack.  Skips
+        # the lexsort + 1.4 GB scatter copy (~60-110 s host time at 21k
+        # 256^2 tiles — the s1 path is the bench default, keep it cheap).
+        t = tiles.shape[0]
+        t2p = ((t + k_pack - 1) // k_pack) * k_pack
+        if t2p != t:
+            tiles = np.concatenate(
+                [tiles, np.zeros((t2p - t,) + tiles.shape[1:], tiles.dtype)]
+            )
+            col = np.concatenate([col, np.zeros(t2p - t, np.int32)])
+            row = np.concatenate([row, np.zeros(t2p - t, np.int32)])
+        return BCSRStacked(
+            tiles=jnp.asarray(tiles),
+            col_blk=jnp.asarray(col.astype(np.int32)),
+            rows=jnp.asarray(row.astype(np.int32)),
+            num_nodes=m.num_nodes,
+            num_row_nodes=m.num_row_nodes,
+            block=b,
+            stack=1,
+        )
 
     live = np.flatnonzero(np.any(tiles != 0, axis=(1, 2)))
     tiles, row, col = tiles[live], row[live], col[live]
     order = np.lexsort((row, col))
     tiles, row, col = tiles[order], row[order], col[order]
     t = len(row)
-    b = m.block
 
     if t == 0:
         t2p = k_pack
