@@ -21,7 +21,12 @@ import time
 
 import numpy as np
 
-from bench import enable_compile_cache, log, make_banded_graph
+from bench import (
+    enable_compile_cache,
+    log,
+    make_banded_graph,
+    make_powerlaw_graph,
+)
 
 
 def main() -> None:
@@ -44,19 +49,12 @@ def main() -> None:
         n, deg, bw, d, hidden, epochs, chunk = 512, 8, 64, 16, 16, 4, 2
         block = 128
 
-    s, r, w = make_banded_graph(n, deg, bw)
-    g = graph_from_edges(s, r, n, edge_weight=w)
-    rng = np.random.default_rng(0)
-    feat = rng.standard_normal((g.num_nodes_padded, d)).astype(np.float32)
-    # band-position labels: learnable from neighborhood structure
-    labels = (np.arange(n) * 4 // n).astype(np.int32)
-
     model = GcnEncoderNode(
         input_dim=d, hidden_dim=hidden, embedding_dim=hidden,
         label_dim=4, num_layers=3,
     )
 
-    def measure(tag: str, use_bcsr: bool) -> float:
+    def measure(tag: str, g, feat, labels, use_bcsr: bool) -> float:
         cfg = TrainConfig(
             num_epochs=epochs, scan_chunk=chunk,
             use_bcsr=use_bcsr, bcsr_block=block,
@@ -73,8 +71,33 @@ def main() -> None:
             f"= {eps:.2f} epochs/s")
         return eps
 
-    bcsr_eps = measure("bcsr", True)
-    coo_eps = measure("coo", False)
+    s, r, w = make_banded_graph(n, deg, bw)
+    g = graph_from_edges(s, r, n, edge_weight=w)
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((g.num_nodes_padded, d)).astype(np.float32)
+    # band-position labels: learnable from neighborhood structure
+    labels = (np.arange(n) * 4 // n).astype(np.int32)
+    bcsr_eps = measure("bcsr-banded", g, feat, labels, True)
+    coo_eps = measure("coo-banded", g, feat, labels, False)
+
+    # Power-law (Chung-Lu) training: the low-locality topology class the
+    # r3 resident kernel targets; bcsr_resident="auto" routes the TPU
+    # aggregation through it (log-degree-bucket labels, learnable from
+    # neighborhood structure).
+    s2, r2, w2 = make_powerlaw_graph(n, deg)
+    din = np.bincount(r2, minlength=n)
+    perm = np.argsort(-din, kind="stable")
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    s2, r2 = inv[s2].astype(np.int32), inv[r2].astype(np.int32)
+    g2 = graph_from_edges(s2, r2, n, edge_weight=w2)
+    feat2 = rng.standard_normal((g2.num_nodes_padded, d)).astype(np.float32)
+    deg2 = np.bincount(r2, minlength=n).astype(np.float64)
+    labels2 = np.digitize(
+        np.log1p(deg2), np.quantile(np.log1p(deg2), [0.25, 0.5, 0.75])
+    ).astype(np.int32)
+    pl_bcsr_eps = measure("bcsr-powerlaw", g2, feat2, labels2, True)
+    pl_coo_eps = measure("coo-powerlaw", g2, feat2, labels2, False)
 
     print(
         json.dumps(
@@ -83,6 +106,8 @@ def main() -> None:
                 "value": bcsr_eps,
                 "unit": "epochs/s",
                 "vs_baseline": bcsr_eps / coo_eps,
+                "powerlaw_epochs_per_s": pl_bcsr_eps,
+                "powerlaw_vs_coo": pl_bcsr_eps / pl_coo_eps,
             }
         )
     )
