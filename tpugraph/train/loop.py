@@ -146,8 +146,23 @@ def train_node_classifier(
                      // cfg.bcsr_block) * cfg.bcsr_block
         d_est = max(128, ((feat.shape[1] + 127) // 128) * 128)
         on_tpu = jax.devices()[0].platform == "tpu"
+        if cfg.bcsr_resident == "auto" and on_tpu:
+            # measured crossover (bench_train r3): the streaming kernel
+            # wins on locality-rich graphs (banded: 37.5 vs 14.6
+            # epochs/s at density 0.031) while the resident kernel wins
+            # on scattered ones (powerlaw: 14.8 vs 5.1 at 0.0015) —
+            # pick by mean tile occupancy, a host-side O(E) count
+            cnt_probe = coo_tile_counts(s_np, r_np, n_pad,
+                                        block=cfg.bcsr_block,
+                                        weights=w_np)
+            n_live = int((np.asarray(w_np) != 0).sum())
+            t_probe = max(int(cnt_probe.sum()), 1)
+            density = n_live / (t_probe * cfg.bcsr_block ** 2)
+            low_locality = density < 0.01
+        else:
+            low_locality = False
         want_res = cfg.bcsr_resident == "on" or (
-            cfg.bcsr_resident == "auto" and on_tpu
+            cfg.bcsr_resident == "auto" and on_tpu and low_locality
             and resident_fits(n_pad_blk, n_pad_blk, d_est, 4)
         )
         if want_res:
