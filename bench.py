@@ -456,13 +456,17 @@ def main() -> None:
     kp2, ovh2 = pick_pack(s2o, r2o, n_r)
     use_packed2 = kp2 >= 2
     prt2 = kp2 if use_packed2 else None
+    # int8 tiles on the streaming path too (exact here — unit weights):
+    # halves both the dominant tile HBM stream and the pack upload vs
+    # the r2-vintage bf16 emit (2.8 GB -> 1.4 GB through the tunnel)
+    td2 = jnp.int8 if td is not None else td
     tpk = time.perf_counter()
-    m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td,
+    m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td2,
                        pad_rows_to=prt2)
     jax.block_until_ready(m2.tiles)
     dense_pack_s = time.perf_counter() - tpk
     log(f"powerlaw dense-tile pack+upload: {dense_pack_s:.1f}s "
-        f"({m2.num_tiles} tiles; fused native bf16 emit)")
+        f"({m2.num_tiles} tiles; fused native int8 emit)")
     m2_t = m2  # symmetric unit-weight graph: A^T == A (see above)
     log(f"powerlaw packing k={kp2 if use_packed2 else 'off'} "
         f"(pad overhead {ovh2:.2f})")
