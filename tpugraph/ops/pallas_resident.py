@@ -17,13 +17,13 @@ is **no row-ordering requirement at all** — no row_ptr, no CSR walk, no
 per-row zeroing: step 0 zeroes the accumulator and every tile
 read-modify-writes its row slice.
 
-The second lever is MXU geometry: an ``[M, K] @ [K, 128]`` with
-``M <= 256`` fills at most 2 of the 4 MXU output tiles (measured 25-58
-TFLOP/s bf16 regardless of scheduling).  Tiles that share a COLUMN block
-multiply the same x-slice, so we stack ``stack`` of them vertically into
-one ``[stack*B, B] @ [B, D]`` matmul — ``stack=2`` at B=256 gives M=512
-and full output-tile occupancy; the results scatter to ``stack``
-different row slices of the resident accumulator.
+``stack`` lets tiles that share a COLUMN block (same x-slice) stack
+vertically into one ``[stack*B, B] @ [B, D]`` matmul.  MEASURED (r3):
+stacking is NEUTRAL here — per-tile ``[256,256]@[256,128]`` dots already
+sustain 78% of nominal MXU peak when operands feed from VMEM, so the
+"M<=256 fills 2 of 4 output tiles" model from the packet-kernel
+diagnosis does not bind; ``stack=1`` (which also needs no host re-sort)
+is the shipped bench configuration.  ``stack=2`` is kept for training.
 
 Replaces the same op as ``pallas_spmm.spmm_bcsr`` (reference
 ``models.py:70`` computes it densely); auto-selection between the two
