@@ -122,17 +122,83 @@ class HaloBCSRAdj:
     speed, not COO speed.  Build with
     ``tpugraph.parallel.spmd.build_halo_bcsr`` (host-side; stacks
     per-device BCSRs over the mesh axis).
+
+    ``tp`` (a ``bcsr_transpose_plan`` of ``m``) enables GAT attention at
+    kernel speed on this path: scores are an on-support SDDMM over the
+    ``[local | halo]`` support (the sharded analog of reference
+    ``models.py:62-68``), and tile gradients flow via the SDDMM VJP.
     """
 
     send_idx: jax.Array  # int32[n_dev, H] — my nodes each peer needs
     m: "object"          # BCSR of local edges: rows=[Ns], cols=[Ns+halo]
     m_t: "object"        # BCSR of the transpose (backward dx)
+    tp: "object" = None  # BCSRTranspose plan of m (GAT / diff-weights)
     axis: str = "data"   # mesh axis name (static)
 
 
 jax.tree_util.register_dataclass(
     HaloBCSRAdj,
-    data_fields=["send_idx", "m", "m_t"],
+    data_fields=["send_idx", "m", "m_t", "tp"],
+    meta_fields=["axis"],
+)
+
+
+@_dataclasses.dataclass
+class HaloOverlapAdj:
+    """Split variant of :class:`HaloAdj` that OVERLAPS the boundary
+    exchange with local aggregation (BASELINE.json north star; SURVEY §7
+    "halo exchange overlap").
+
+    The shard's edges are split host-side
+    (``tpugraph.parallel.spmd.split_halo_plan``) into the local-local set
+    (both endpoints in this shard — the vast majority on any decent
+    partition) and the halo-dependent set.  The local ``segment_sum``
+    has NO data dependence on the ``all_to_all``, so XLA schedules the
+    collective concurrently with it; the halo contribution is added when
+    the exchange lands.  Numerics are identical to :class:`HaloAdj`
+    (same edges, same order-independent float sums).
+    """
+
+    send_idx: jax.Array  # int32[n_dev, H] — my nodes each peer needs
+    s_loc: jax.Array     # int32[EL] — local sender of each local edge
+    r_loc: jax.Array     # int32[EL] — local receiver (w=0 on padding)
+    w_loc: jax.Array     # float32[EL]
+    h_slot: jax.Array    # int32[EH] — halo-buffer index of each sender
+    r_halo: jax.Array    # int32[EH] — local receiver of each halo edge
+    w_halo: jax.Array    # float32[EH]
+    axis: str = "data"   # mesh axis name (static)
+
+
+jax.tree_util.register_dataclass(
+    HaloOverlapAdj,
+    data_fields=["send_idx", "s_loc", "r_loc", "w_loc",
+                 "h_slot", "r_halo", "w_halo"],
+    meta_fields=["axis"],
+)
+
+
+@_dataclasses.dataclass
+class HaloBCSROverlapAdj:
+    """Split variant of :class:`HaloBCSRAdj`: the local-local edges live
+    in a SQUARE per-shard BCSR (``m_loc``) whose Pallas SpMM has no data
+    dependence on the ``all_to_all``, so the kernel runs while the
+    exchange is in flight; the halo-dependent edges live in a small
+    rectangular BCSR (``m_halo``, cols = halo buffer) applied when the
+    collective lands.  Build with
+    ``tpugraph.parallel.spmd.build_halo_bcsr_overlap``.
+    """
+
+    send_idx: jax.Array   # int32[n_dev, H]
+    m_loc: "object"       # BCSR local edges: rows=[Ns], cols=[Ns]
+    m_loc_t: "object"     # transpose (backward dx)
+    m_halo: "object"      # BCSR halo edges: rows=[Ns], cols=[halo buf]
+    m_halo_t: "object"    # transpose (backward d_halo)
+    axis: str = "data"    # mesh axis name (static)
+
+
+jax.tree_util.register_dataclass(
+    HaloBCSROverlapAdj,
+    data_fields=["send_idx", "m_loc", "m_loc_t", "m_halo", "m_halo_t"],
     meta_fields=["axis"],
 )
 

@@ -138,6 +138,12 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
         # packer's layout as-is, just pad the tile count to k_pack.  Skips
         # the lexsort + 1.4 GB scatter copy (~60-110 s host time at 21k
         # 256^2 tiles — the s1 path is the bench default, keep it cheap).
+        # Dead padding tiles (all-zero, from pad_rows_to) are still
+        # dropped — one memory-bound np.any scan (advisor r3).
+        live_mask = np.any(tiles != 0, axis=(1, 2))
+        if not live_mask.all():
+            keep = np.flatnonzero(live_mask)
+            tiles, row, col = tiles[keep], row[keep], col[keep]
         t = tiles.shape[0]
         t2p = ((t + k_pack - 1) // k_pack) * k_pack
         if t2p != t:
@@ -268,8 +274,13 @@ def spmm_stacked_resident(
     assert t % k_pack == 0, f"pad stacks to a multiple of {k_pack}"
     if interpret is None:
         interpret = not _on_tpu()
-    assert resident_fits(n, n_out, d, x.dtype.itemsize), (
+    win = tile_window_bytes_for(
+        k_pack, stack, b, jnp.dtype(m.tiles.dtype).itemsize, m.packed4
+    )
+    assert resident_fits(n, n_out, d, x.dtype.itemsize,
+                         tile_window_bytes=win), (
         f"resident buffers exceed VMEM budget: x[{n},{d}] + out[{n_out},{d}]"
+        f" + {win >> 20} MB tile window"
     )
 
     tile_cols = b // 2 if m.packed4 else b
@@ -300,9 +311,25 @@ def spmm_stacked_resident(
 
 
 def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
-                  slack_bytes: int = 8 * 2**20) -> bool:
-    """Whether the resident x + out accumulator fit the VMEM budget."""
-    return n * d * x_itemsize + n_out * d * 4 + slack_bytes < _VMEM_LIMIT
+                  slack_bytes: int = 8 * 2**20,
+                  tile_window_bytes: int = 0) -> bool:
+    """Whether the resident x + out accumulator fit the VMEM budget.
+
+    ``tile_window_bytes`` is the streamed (double-buffered) tile window —
+    ``2 * k_pack * stack * block * tile_cols * itemsize`` — which also
+    lives in VMEM (advisor r3: ~33 MB at the bench's kp=256 int8 config;
+    shapes near the boundary could otherwise pass the gate yet fail to
+    compile).  Use :func:`tile_window_bytes_for` to compute it."""
+    return (n * d * x_itemsize + n_out * d * 4 + tile_window_bytes
+            + slack_bytes) < _VMEM_LIMIT
+
+
+def tile_window_bytes_for(k_pack: int, stack: int, block: int,
+                          tile_itemsize: int = 1,
+                          packed4: bool = False) -> int:
+    """VMEM bytes of the double-buffered streamed tile window."""
+    cols = block // 2 if packed4 else block
+    return 2 * k_pack * stack * block * cols * tile_itemsize
 
 
 # --------------------------------------------------------------------------
@@ -338,7 +365,9 @@ def _stacked_matvec_vjp(st, st_t, x, interpret, k_pack):
 def _stacked_fwd(st, st_t, x, interpret, k_pack):
     return (
         spmm_stacked_resident(st, x, k_pack=k_pack, interpret=interpret),
-        (st, st_t),
+        # zero-size token carries x's dtype so the backward can return a
+        # cotangent matching the PRIMAL dtype (not g's)
+        (st, st_t, jnp.zeros((0,), x.dtype)),
     )
 
 
@@ -354,12 +383,16 @@ def _zero_cotangent(st: BCSRStacked):
 
 
 def _stacked_bwd(interpret, k_pack, res, g):
-    # g passes through at its own dtype; the kernel casts per-tile on the
-    # VPU when tiles are bf16/int8 (f32-resident g costs VMEM, not
-    # precision — keep training gradients exact)
-    st, st_t = res
+    # g passes through at its own dtype.  When tiles are bf16/int8 the
+    # kernel casts each f32 cotangent slice to bf16 on the VPU before the
+    # MXU dot, so the backward x-gradient is computed at bf16 precision
+    # (matching the forward's bf16 aggregation; the f32 accumulator keeps
+    # the reduction itself exact).  The returned cotangent matches the
+    # PRIMAL x dtype (advisor r3).
+    st, st_t, x_tok = res
     dx = spmm_stacked_resident(st_t, g, k_pack=k_pack, interpret=interpret)
-    return (_zero_cotangent(st), _zero_cotangent(st_t), dx.astype(g.dtype))
+    return (_zero_cotangent(st), _zero_cotangent(st_t),
+            dx.astype(x_tok.dtype))
 
 
 _stacked_matvec_vjp.defvjp(_stacked_fwd, _stacked_bwd)

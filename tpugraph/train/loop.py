@@ -57,7 +57,13 @@ class TrainConfig:
     bcsr_resident: str = "auto"  # VMEM-resident stacked kernel
                             # (ops/pallas_resident): "auto" = use when
                             # x+out fit VMEM (the low-locality fast
-                            # path), "on" / "off" to force
+                            # path), "on" / "off" to force.  NOTE: on
+                            # this path non-integral adjacency weights
+                            # (e.g. normalize=True sym-normalization)
+                            # are quantized to bf16 tiles — training
+                            # numerics differ slightly from the
+                            # f32-tile streaming path (a log line is
+                            # emitted when that happens)
 
 
 def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> OptimizerConfig:
@@ -140,11 +146,24 @@ def train_node_classifier(
         # path (33.3 vs 37.5 epochs/s at 65k/256-block) — BlockSpec
         # pipelining already saturates f32 tile bandwidth.
         from tpugraph.nn.layers import StackedAdj
-        from tpugraph.ops.pallas_resident import resident_fits, stack_bcsr
+        from tpugraph.ops.pallas_resident import (
+            resident_fits,
+            stack_bcsr,
+            tile_window_bytes_for,
+        )
 
         n_pad_blk = ((n_pad + cfg.bcsr_block - 1)
                      // cfg.bcsr_block) * cfg.bcsr_block
-        d_est = max(128, ((feat.shape[1] + 127) // 128) * 128)
+        # the stacked kernel runs at EVERY layer width, not just the input
+        # dim — gate on the maximum padded width the model will use
+        # (advisor r3: a hidden layer wider than the input could pass the
+        # gate yet fail resident_fits at trace time)
+        dims = [int(feat.shape[1])]
+        for attr in ("hidden_dim", "embedding_dim"):
+            v = getattr(model, attr, None)
+            if v:
+                dims.append(int(v))
+        d_est = max(128, ((max(dims) + 127) // 128) * 128)
         on_tpu = jax.devices()[0].platform == "tpu"
         if cfg.bcsr_resident == "auto" and on_tpu:
             # measured crossover (bench_train r3): the streaming kernel
@@ -163,7 +182,12 @@ def train_node_classifier(
             low_locality = False
         want_res = cfg.bcsr_resident == "on" or (
             cfg.bcsr_resident == "auto" and on_tpu and low_locality
-            and resident_fits(n_pad_blk, n_pad_blk, d_est, 4)
+            and resident_fits(
+                n_pad_blk, n_pad_blk, d_est, 4,
+                tile_window_bytes=tile_window_bytes_for(
+                    16, 2, cfg.bcsr_block, 1
+                ),
+            )
         )
         if want_res:
             # VMEM-resident stacked path: int8 tiles when the weights are
@@ -173,6 +197,13 @@ def train_node_classifier(
                 np.all(w_np == np.rint(w_np)) and np.abs(w_np).max(initial=0) <= 127
             )
             tdt = jnp.int8 if integral else jnp.bfloat16
+            if not integral:
+                print(
+                    "tpugraph: resident fast path quantizes non-integral "
+                    "adjacency weights to bf16 tiles (use "
+                    "bcsr_resident='off' for exact f32-tile aggregation)",
+                    flush=True,
+                )
             kp_res = 16
             m_host = bcsr_from_coo(s_np, r_np, w_np, n_pad,
                                    block=cfg.bcsr_block, tile_dtype=tdt,
