@@ -334,6 +334,229 @@ def test_halo_bcsr_training_matches_single_device(rng, mesh8):
     np.testing.assert_allclose(logits_h, np.asarray(logits_ref), atol=5e-4)
 
 
+def test_halo_overlap_training_matches_halo(rng, mesh8):
+    """The SPLIT (overlapped) halo path reproduces the plain halo path's
+    loss trajectory exactly — same edges, reordered into local-local +
+    halo-dependent sets (VERDICT r3 item 2 done criterion)."""
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.spmd import (
+        build_halo_plan,
+        make_halo_node_train_step,
+        make_halo_overlap_forward,
+        make_halo_overlap_train_step,
+        split_halo_plan,
+    )
+
+    n = 96
+    a = (rng.random((n, n)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    oplan = split_halo_plan(plan, 8)
+    # the local-local set should dominate on a contiguous partition
+    n_loc = int((np.asarray(oplan.w_loc) != 0).sum())
+    n_halo = int((np.asarray(oplan.w_halo) != 0).sum())
+    assert n_loc + n_halo == int((np.asarray(plan.weights) != 0).sum())
+
+    d, c = 6, 3
+    n_total = plan.shard_size * 8
+    x = jnp.asarray(rng.standard_normal((n_total, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n_total).astype(np.int32))
+    mask = jnp.asarray((np.arange(n_total) < n).astype(np.float32))
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=c, num_layers=3)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params0 = model.init(jax.random.PRNGKey(0), x, sp)
+    tx = optax.adam(1e-2)
+
+    step_h = make_halo_node_train_step(model, tx, mesh8)
+    step_o = make_halo_overlap_train_step(model, tx, mesh8)
+    ph, oh = params0, tx.init(params0)
+    po, oo = params0, tx.init(params0)
+    for _ in range(5):
+        ph, oh, loss_h = step_h(ph, oh, plan, x, y, mask)
+        po, oo, loss_o = step_o(po, oo, oplan, x, y, mask)
+        np.testing.assert_allclose(float(loss_o), float(loss_h),
+                                   rtol=2e-5, atol=2e-6)
+
+    fwd = make_halo_overlap_forward(model, mesh8)
+    logits_o = np.asarray(fwd(po, oplan, x))
+    logits_h, _ = model.apply(ph, x, sp)
+    np.testing.assert_allclose(logits_o, np.asarray(logits_h), atol=5e-4)
+
+
+def test_halo_bcsr_overlap_training_matches_single_device(rng, mesh8):
+    """Overlapped BCSR halo training (square local kernel concurrent
+    with the all_to_all + rect halo kernel) matches single-device."""
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.nn.losses import node_cross_entropy
+    from tpugraph.parallel.spmd import (
+        build_halo_bcsr_overlap,
+        build_halo_plan,
+        make_halo_bcsr_overlap_forward,
+        make_halo_bcsr_overlap_train_step,
+    )
+
+    n = 96
+    a = (rng.random((n, n)) < 0.08).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    bplan = build_halo_bcsr_overlap(plan, 8, block=8)
+    n_total = plan.shard_size * 8
+
+    d, c = 6, 3
+    x = jnp.asarray(rng.standard_normal((n_total, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n_total).astype(np.int32))
+    mask = jnp.asarray((np.arange(n_total) < n).astype(np.float32))
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=c, num_layers=3)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params0 = model.init(jax.random.PRNGKey(0), x, sp)
+    tx = optax.adam(1e-2)
+
+    @jax.jit
+    def ref_step(params, opt_state):
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, sp)
+            return node_cross_entropy(logits, y, node_mask=mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state = params0, tx.init(params0)
+    ref_losses = []
+    for _ in range(5):
+        params, opt_state, loss = ref_step(params, opt_state)
+        ref_losses.append(float(loss))
+
+    step = make_halo_bcsr_overlap_train_step(model, tx, mesh8)
+    params_h, opt_h = params0, tx.init(params0)
+    ov_losses = []
+    for _ in range(5):
+        params_h, opt_h, loss = step(params_h, opt_h, bplan, x, y, mask)
+        ov_losses.append(float(loss))
+
+    np.testing.assert_allclose(ov_losses, ref_losses, rtol=2e-4, atol=2e-5)
+
+    fwd = make_halo_bcsr_overlap_forward(model, mesh8)
+    logits_h = np.asarray(fwd(params_h, bplan, x))
+    logits_ref, _ = model.apply(params, x, sp)
+    np.testing.assert_allclose(logits_h, np.asarray(logits_ref), atol=5e-4)
+
+
+def test_halo_overlap_gat_matches_sparse(rng, mesh8):
+    """GAT attention on the overlapped COO halo path == SparseAdj."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tpugraph.nn.layers import GraphConv, HaloOverlapAdj, SparseAdj
+    from tpugraph.parallel.spmd import build_halo_plan, split_halo_plan
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    op = split_halo_plan(plan, 8)
+    d = 6
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    layer = GraphConv(input_dim=d, output_dim=5, att=True)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = layer.init(jax.random.PRNGKey(0), x, sp)
+    y_ref, _ = layer.apply(params, x, sp)
+
+    def local(p, arrs, xl):
+        si, sl, rl, wl, hs, rh, wh = arrs
+        adj = HaloOverlapAdj(si[0], sl[0], rl[0], wl[0],
+                             hs[0], rh[0], wh[0], "data")
+        y, _ = layer.apply(p, xl, adj)
+        return y
+
+    f = shard_map(
+        local, mesh=mesh8,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    arrs = (op.send_idx, op.s_loc, op.r_loc, op.w_loc,
+            op.h_slot, op.r_halo, op.w_halo)
+    y_halo = f(params, arrs, x)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref),
+                               atol=1e-4)
+
+
+def test_halo_bcsr_gat_matches_sparse(rng, mesh8):
+    """GAT attention on the BCSR-halo path (tile-support SDDMM) matches
+    the SparseAdj attention path, forward AND gradients (VERDICT r3
+    item 9 done criterion)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tpugraph.nn.layers import GraphConv, SparseAdj
+    from tpugraph.parallel.spmd import (
+        _bcsr_slice0,
+        _tp_slice0,
+        build_halo_bcsr,
+        build_halo_plan,
+    )
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    bplan = build_halo_bcsr(plan, 8, block=8, att=True)
+    assert bplan.tp is not None
+    d = 6
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    layer = GraphConv(input_dim=d, output_dim=5, att=True)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = layer.init(jax.random.PRNGKey(0), x, sp)
+    y_ref, _ = layer.apply(params, x, sp)
+
+    def local(p, arrs, xl):
+        from tpugraph.nn.layers import HaloBCSRAdj
+
+        si, m, m_t, tp = arrs
+        adj = HaloBCSRAdj(si[0], _bcsr_slice0(m), _bcsr_slice0(m_t),
+                          _tp_slice0(tp), "data")
+        y, _ = layer.apply(p, xl, adj)
+        return y
+
+    f = shard_map(
+        local, mesh=mesh8,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    arrs = (bplan.send_idx, bplan.m, bplan.m_t, bplan.tp)
+    y_halo = f(params, arrs, x)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref),
+                               atol=1e-4)
+
+    # gradients flow through the attention scores on both paths
+    def loss_sp(p):
+        y, _ = layer.apply(p, x, sp)
+        return jnp.sum(y * y)
+
+    def loss_halo(p):
+        y = f(p, arrs, x)
+        return jnp.sum(y * y)
+
+    g_sp = jax.grad(loss_sp)(params)
+    g_h = jax.grad(loss_halo)(params)
+    for k in ("att_weight", "weight"):
+        np.testing.assert_allclose(
+            np.asarray(g_h["params"][k]), np.asarray(g_sp["params"][k]),
+            atol=2e-3, rtol=1e-3,
+        )
+        assert float(np.abs(np.asarray(g_sp["params"][k])).max()) > 0
+
+
 def test_bcsr_rectangular_spmm(rng):
     """Rect BCSR (num_col_nodes != num_nodes) matches dense on both the
     plain and packed kernels."""

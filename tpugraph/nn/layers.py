@@ -228,7 +228,8 @@ jax.tree_util.register_dataclass(
 
 
 Adjacency = Union[
-    jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj, StackedAdj
+    jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj,
+    HaloOverlapAdj, HaloBCSROverlapAdj, StackedAdj,
 ]
 
 
@@ -341,12 +342,18 @@ class GraphConv(nn.Module):
             # the multi-chip path at MXU-kernel speed (one all_to_all of
             # boundary features per layer, then a rectangular block-sparse
             # aggregation over [local | halo] columns).
-            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+            from tpugraph.ops.pallas_spmm import (
+                LANES,
+                bcsr_matvec,
+                bcsr_matvec_dw,
+                sddmm_dw,
+            )
 
-            if self.att:
+            if self.att and adj.tp is None:
                 raise NotImplementedError(
-                    "GAT on the BCSR-halo path is not supported; use "
-                    "HaloAdj for attention models"
+                    "GAT on the BCSR-halo path needs a transpose plan: "
+                    "HaloBCSRAdj(..., tp=bcsr_transpose_plan(m)) — see "
+                    "parallel.spmd.build_halo_bcsr(att=True)"
                 )
             ns, d_in = x.shape
             send_buf = x[adj.send_idx]  # [n_dev, H, D]
@@ -357,8 +364,93 @@ class GraphConv(nn.Module):
             d_pad = ((d_in + LANES - 1) // LANES) * LANES
             col_pad = adj.m.num_nodes - xx.shape[0]
             xx = jnp.pad(xx, ((0, col_pad), (0, d_pad - d_in)))
-            y = bcsr_matvec(adj.m, adj.m_t, xx)[:ns, :d_in]
+            if self.att:
+                # attention scores on the [local | halo] tile support —
+                # the sharded block-sparse analog of reference
+                # models.py:62-68 (VERDICT r3 item 9: GAT at kernel
+                # speed on the sharded path)
+                xx_att = jnp.matmul(xx[:, :d_in], att_weight,
+                                    preferred_element_type=jnp.float32)
+                xx_att = jnp.pad(xx_att, ((0, 0), (0, d_pad - d_in)))
+                row_pad = adj.m.num_row_nodes - ns
+                a_rows = jnp.pad(xx_att[:ns], ((0, row_pad), (0, 0)))
+                scores = sddmm_dw(adj.m, adj.tp, a_rows, xx_att)
+                import dataclasses
+
+                eff = dataclasses.replace(
+                    adj.m, tiles=adj.m.tiles * scores
+                )
+                y = bcsr_matvec_dw(eff, adj.tp, xx)[:ns, :d_in]
+                adj_att: Adjacency = _dataclasses.replace(adj, m=eff)
+            else:
+                y = bcsr_matvec(adj.m, adj.m_t, xx)[:ns, :d_in]
+                adj_att = adj
+        elif isinstance(adj, HaloBCSROverlapAdj):
+            # Overlapped variant: the square local-edge kernel has no
+            # data dependence on the all_to_all, so XLA runs the
+            # collective concurrently with it; the halo-edge kernel adds
+            # its contribution when the exchange lands (SURVEY §7 "halo
+            # exchange overlap"; the op being scaled is reference
+            # models.py:70).
+            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+
+            if self.att:
+                raise NotImplementedError(
+                    "GAT on the overlapped BCSR-halo path is not "
+                    "supported; use build_halo_bcsr(att=True) (HaloBCSRAdj)"
+                )
+            ns, d_in = x.shape
+            send_buf = x[adj.send_idx]  # [n_dev, H, D]
+            halo = jax.lax.all_to_all(
+                send_buf, adj.axis, split_axis=0, concat_axis=0, tiled=True
+            ).reshape(-1, d_in)
+            d_pad = ((d_in + LANES - 1) // LANES) * LANES
+            x_p = jnp.pad(
+                x, ((0, adj.m_loc.num_nodes - ns), (0, d_pad - d_in))
+            )
+            y_loc = bcsr_matvec(adj.m_loc, adj.m_loc_t, x_p)
+            h_p = jnp.pad(
+                halo,
+                ((0, adj.m_halo.num_nodes - halo.shape[0]),
+                 (0, d_pad - d_in)),
+            )
+            y_halo = bcsr_matvec(adj.m_halo, adj.m_halo_t, h_p)
+            y = (y_loc[:ns] + y_halo[:ns])[:, :d_in]
             adj_att = adj
+        elif isinstance(adj, HaloOverlapAdj):
+            # Overlapped COO halo path: local segment_sum is independent
+            # of the all_to_all, so the collective hides behind it.
+            send_buf = x[adj.send_idx]  # [n_dev, H, D]
+            halo = jax.lax.all_to_all(
+                send_buf, adj.axis, split_axis=0, concat_axis=0, tiled=True
+            ).reshape(-1, x.shape[-1])
+            if self.att:
+                x_att = jnp.matmul(x, att_weight,
+                                   preferred_element_type=jnp.float32)
+                h_att = jnp.matmul(halo, att_weight,
+                                   preferred_element_type=jnp.float32)
+                sc_loc = jnp.sum(
+                    x_att[adj.s_loc] * x_att[adj.r_loc], axis=-1
+                )
+                sc_halo = jnp.sum(
+                    h_att[adj.h_slot] * x_att[adj.r_halo], axis=-1
+                )
+                w_loc = adj.w_loc * sc_loc
+                w_halo = adj.w_halo * sc_halo
+                adj_att = _dataclasses.replace(
+                    adj, w_loc=w_loc, w_halo=w_halo
+                )
+            else:
+                w_loc, w_halo = adj.w_loc, adj.w_halo
+                adj_att = adj
+            y = jax.ops.segment_sum(
+                x[adj.s_loc] * w_loc[:, None], adj.r_loc,
+                num_segments=x.shape[0],
+            )
+            y = y + jax.ops.segment_sum(
+                halo[adj.h_slot] * w_halo[:, None], adj.r_halo,
+                num_segments=x.shape[0],
+            )
         elif isinstance(adj, HaloAdj):
             # Boundary-only halo exchange, then local aggregation — one
             # all_to_all over ICI per layer; features stay node-sharded.

@@ -474,11 +474,15 @@ def bcsr_transpose_plan(m: BCSR) -> BCSRTranspose:
     tiles are consecutive (the accumulation kernel's contract).  Row
     blocks of the transpose that no real tile covers get one injected
     dead tile (perm 0, keep 0) so their output is written as zero.
+
+    Rectangular-aware: for ``m`` of shape [R, C] the plan describes a
+    [C, R] transpose (row blocks = m's column blocks, ``num_nodes`` =
+    m's row count) — the halo GAT path transposes [Ns, Ns+halo] BCSRs.
     """
     row = np.asarray(m.row_of)
     col = np.asarray(m.col_blk)
     tiles = np.asarray(m.tiles)
-    n_blocks = m.num_row_blocks
+    n_blocks = m.num_nodes // m.block  # transpose rows = primal cols
 
     real = np.flatnonzero(np.any(tiles != 0, axis=(1, 2)))
     # transpose coordinates of real tiles; group by transpose row block
@@ -506,7 +510,7 @@ def bcsr_transpose_plan(m: BCSR) -> BCSRTranspose:
         row_of=jnp.asarray(t_row.astype(np.int32)),
         perm=jnp.asarray(perm.astype(np.int32)),
         keep=jnp.asarray(keep),
-        num_nodes=m.num_nodes,
+        num_nodes=m.num_row_nodes,  # transpose cols = primal rows
         block=m.block,
     )
 

@@ -176,9 +176,11 @@ def sddmm_bcsr(
     m: BCSR, dy: jax.Array, x: jax.Array, interpret: Optional[bool] = None
 ) -> jax.Array:
     """Per-tile gradient ``dA = (dY @ X^T) * support`` — SDDMM restricted
-    to the BCSR sparsity pattern.  Returns ``float32[T, B, B]``."""
+    to the BCSR sparsity pattern.  Returns ``float32[T, B, B]``.
+    Rect-aware: ``dy`` spans the ROW nodes, ``x`` the COLUMN nodes."""
     n, d = x.shape
-    assert n == m.num_nodes and dy.shape == x.shape
+    assert n == m.num_nodes, (n, m.num_nodes)
+    assert dy.shape == (m.num_row_nodes, d), (dy.shape, m.num_row_nodes)
     assert d % LANES == 0
     b = m.block
     t = m.num_tiles
