@@ -135,8 +135,12 @@ def main_halo() -> None:
     from tpugraph.nn import GcnEncoderNode
     from tpugraph.nn.layers import SparseAdj
     from tpugraph.parallel.mesh import make_mesh
-    from tpugraph.parallel.spmd import build_halo_plan, \
-        make_halo_node_train_step
+    from tpugraph.parallel.spmd import (
+        build_halo_plan,
+        make_halo_node_train_step,
+        make_halo_overlap_train_step,
+        split_halo_plan,
+    )
 
     from bench import make_banded_graph
     from tpugraph.parallel.spmd import balance_partition
@@ -157,10 +161,9 @@ def main_halo() -> None:
         return s, r, w
 
     all_out = {}
-    times, balance, halo_bytes = {}, {}, {}
     for gname, mk in (("banded", banded),
                       ("powerlaw_balanced", powerlaw_balanced)):
-      times, balance, halo_bytes = {}, {}, {}
+      times, times_ov, balance, halo_bytes = {}, {}, {}, {}
       for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_dev)
         n_nodes = ns_per_dev * n_dev
@@ -202,16 +205,38 @@ def main_halo() -> None:
             jax.block_until_ready(loss)
             best = min(best, (time.perf_counter() - t0) / steps)
         times[n_dev] = best
+
+        # overlapped split path (r4): local-local aggregation concurrent
+        # with the all_to_all, no [x | halo] concat
+        oplan = split_halo_plan(plan, n_dev)
+        ostep = make_halo_overlap_train_step(model, tx, mesh)
+        po, oo = params, tx.init(params)
+        po, oo, loss_o = ostep(po, oo, oplan, x, y, mask)
+        jax.block_until_ready(loss_o)
+        best_o = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                po, oo, loss_o = ostep(po, oo, oplan, x, y, mask)
+            jax.block_until_ready(loss_o)
+            best_o = min(best_o, (time.perf_counter() - t0) / steps)
+        times_ov[n_dev] = best_o
         log(f"halo {gname} {n_dev} dev: {len(s)} edges "
             f"(balance {balance[n_dev]:.2f}, halo {plan.halo_size}/peer), "
-            f"{best * 1e3:.1f} ms/step")
+            f"{best * 1e3:.1f} ms/step; overlap {best_o * 1e3:.1f} ms/step")
 
       effs = {n: n * times[1] / times[n] for n in times}
+      effs_ov = {n: n * times_ov[1] / times_ov[n] for n in times_ov}
       log(f"halo {gname} weak-scaling program efficiency: "
           + ", ".join(f"{n}dev={effs[n]:.2f}" for n in sorted(effs)))
+      log(f"halo {gname} OVERLAP efficiency: "
+          + ", ".join(f"{n}dev={effs_ov[n]:.2f}" for n in sorted(effs_ov)))
       all_out[gname] = {
           "efficiency_by_devices": {str(k): round(v, 3)
                                     for k, v in effs.items()},
+          "overlap_efficiency_by_devices": {str(k): round(v, 3)
+                                            for k, v in effs_ov.items()},
+          "overlap_ms_per_step_8dev": round(times_ov[8] * 1e3, 2),
           "shard_edge_balance_max_over_mean": {
               str(k): round(v, 3) for k, v in balance.items()},
           "halo_bytes_per_step": halo_bytes,

@@ -173,6 +173,38 @@ def test_explain_bcsr_auc(syn1_trained):
     np.testing.assert_allclose(ma, ma.T, atol=1e-5)
 
 
+def test_explain_bcsr_mesh_query_sharding(syn1_trained):
+    """Tile-space queries sharded over the 8-device mesh reproduce the
+    sequential per-query results (same key, same optimization), with AUC
+    unchanged (VERDICT r3 item 6 done criterion)."""
+    from jax.sharding import Mesh
+
+    from tpugraph.explain import explanation_auc
+
+    model, out, cg = syn1_trained
+    ex = Explainer(
+        model, out["params"], cg["adj"], cg["feat"], cg["label"], cg["pred"],
+        n_hops=3, dataset="syn1",
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    nodes = list(range(400, 700, 60))  # 5 queries -> exercises padding
+    seq = ex.explain_nodes_bcsr(nodes)
+    sharded = ex.explain_nodes_bcsr(nodes, mesh=mesh)
+    assert len(sharded) == len(nodes)
+    for a, b in zip(seq, sharded):
+        assert a["node_idx"] == b["node_idx"]
+        np.testing.assert_allclose(b["masked_adj"], a["masked_adj"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(b["feat_mask"], a["feat_mask"],
+                                   atol=1e-5)
+    auc, _, _ = explanation_auc(
+        [r["masked_adj"] for r in sharded],
+        [r["node_idx_new"] for r in sharded],
+        "syn1",
+    )
+    assert auc > 0.9, auc
+
+
 def test_grad_baseline(syn1_trained):
     model, out, cg = syn1_trained
     ex = Explainer(

@@ -227,9 +227,28 @@ jax.tree_util.register_dataclass(
 )
 
 
+@_dataclasses.dataclass
+class PacketAdj:
+    """Edge-packet adjacency (``tpugraph.ops.packets`` /
+    ``ops.pallas_packets``): ~1.5 KB HBM per 128-edge packet instead of a
+    131 KB dense tile, and a ~1-3 s pack with NO tile materialization —
+    the pack-latency-sensitive low-locality path (BENCH_r03: 2.3e8
+    edges/s steady-state vs 9.4e8 resident, but 2.5 s pack vs 72 s;
+    ``TrainConfig.bcsr_format="auto"`` picks by total-time cost model).
+    STATIC weights only (training aggregation)."""
+
+    p: "object"    # EdgePackets of A
+    p_t: "object"  # EdgePackets of A^T (backward dx)
+
+
+jax.tree_util.register_dataclass(
+    PacketAdj, data_fields=["p", "p_t"], meta_fields=[]
+)
+
+
 Adjacency = Union[
     jax.Array, SparseAdj, BCSRAdj, HaloAdj, HaloBCSRAdj,
-    HaloOverlapAdj, HaloBCSROverlapAdj, StackedAdj,
+    HaloOverlapAdj, HaloBCSROverlapAdj, StackedAdj, PacketAdj,
 ]
 
 
@@ -320,6 +339,22 @@ class GraphConv(nn.Module):
                     adj.m, adj.m_t, x_p, k_pack=adj.k_pack or None
                 )[:, :d_in]
                 adj_att = adj
+        elif isinstance(adj, PacketAdj):
+            from tpugraph.ops.pallas_packets import packets_matvec
+            from tpugraph.ops.pallas_spmm import LANES
+
+            if self.att:
+                raise NotImplementedError(
+                    "GAT attention needs per-edge score gradients — use "
+                    "BCSRAdj with a transpose plan or SparseAdj"
+                )
+            ns, d_in = x.shape
+            d_pad = ((d_in + LANES - 1) // LANES) * LANES
+            x_p = jnp.pad(
+                x, ((0, adj.p.num_nodes - ns), (0, d_pad - d_in))
+            )
+            y = packets_matvec(adj.p, adj.p_t, x_p)[:ns, :d_in]
+            adj_att = adj
         elif isinstance(adj, StackedAdj):
             from tpugraph.ops.pallas_resident import stacked_matvec
             from tpugraph.ops.pallas_spmm import LANES
