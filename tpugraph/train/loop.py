@@ -54,6 +54,16 @@ class TrainConfig:
     bcsr_block: int = 128   # BCSR tile size (128 or 256; see bench.py)
     bcsr_k_pack: int = 0    # packed kernel: 0 = off (fastest for f32
                             # tiles), >1 = fixed k, -1 = auto (choose_k_pack)
+    packet_geom: Tuple[int, int, int] = (512, 256, 128)
+                            # edge-packet (block_r, block_c, K) — the
+                            # bench-tuned geometry (bench.py)
+    bcsr_format: str = "auto"  # low-locality tile format: "tiles"
+                            # (dense BCSR / resident), "packets"
+                            # (edge packets: ~4x slower steady-state
+                            # but ~30x cheaper pack — wins whenever
+                            # pack latency dominates, BENCH_r03), or
+                            # "auto" = total-time cost model using
+                            # num_epochs and the measured v5e rates
     bcsr_resident: str = "auto"  # VMEM-resident stacked kernel
                             # (ops/pallas_resident): "auto" = use when
                             # x+out fit VMEM (the low-locality fast
@@ -77,6 +87,41 @@ def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> Optim
         weight_decay=cfg.weight_decay if weight_decay is None else weight_decay,
         clip=cfg.clip,
     )
+
+
+# Measured v5e rates for the pack-latency-aware format rule
+# (BENCH_r03; fwd+bwd SpMM pairs on the 65k/2.1M powerlaw bench):
+_RES_EDGES_PER_S = 9.4e8       # resident-stacked kernel steady state
+_PKT_EDGES_PER_S = 2.26e8      # edge-packet kernel steady state
+_RES_PACK_S_PER_TILE = 3.5e-3  # int8 emit + tunnel upload, per 256^2 tile
+_PKT_PACK_S_PER_EDGE = 1.2e-6  # no tile materialization
+_SPMM_PAIRS_PER_EPOCH = 3      # 3-layer encoder: one pair per layer
+
+
+def resolve_bcsr_format(cfg: "TrainConfig", n_live: int, t_probe: int,
+                        density: float, low_locality: bool,
+                        on_tpu: bool) -> str:
+    """Pick the low-locality tile format by TOTAL time (pack + train).
+
+    The edge-packet kernel is ~4x slower steady-state than the resident
+    kernel but its pack is ~30x cheaper (2.5 s vs 72 s measured,
+    BENCH_r03) — for short runs the pack dominates and packets win; for
+    long runs the kernel rate dominates and dense tiles win.  The
+    crossover at the bench scale (2.1M edges, 21k tiles) is ~2,500
+    epochs.  Only low-locality graphs (density < 3e-3) are candidates —
+    dense-tile graphs stream tiles at full HBM rate and never benefit.
+    """
+    fmt = cfg.bcsr_format
+    if fmt != "auto":
+        return fmt
+    if not (on_tpu and low_locality and density < 3e-3):
+        return "tiles"
+    pairs = _SPMM_PAIRS_PER_EPOCH * cfg.num_epochs
+    est_tiles = (_RES_PACK_S_PER_TILE * t_probe
+                 + pairs * n_live / _RES_EDGES_PER_S)
+    est_pkt = (_PKT_PACK_S_PER_EDGE * n_live
+               + pairs * n_live / _PKT_EDGES_PER_S)
+    return "packets" if est_pkt < est_tiles else "tiles"
 
 
 def split_nodes(
@@ -165,7 +210,9 @@ def train_node_classifier(
                 dims.append(int(v))
         d_est = max(128, ((max(dims) + 127) // 128) * 128)
         on_tpu = jax.devices()[0].platform == "tpu"
-        if cfg.bcsr_resident == "auto" and on_tpu:
+        n_live = int((np.asarray(w_np) != 0).sum())
+        if on_tpu and (cfg.bcsr_resident == "auto"
+                       or cfg.bcsr_format == "auto"):
             # measured crossover (bench_train r3): the streaming kernel
             # wins on locality-rich graphs (banded: 37.5 vs 14.6
             # epochs/s at density 0.031) while the resident kernel wins
@@ -174,13 +221,36 @@ def train_node_classifier(
             cnt_probe = coo_tile_counts(s_np, r_np, n_pad,
                                         block=cfg.bcsr_block,
                                         weights=w_np)
-            n_live = int((np.asarray(w_np) != 0).sum())
             t_probe = max(int(cnt_probe.sum()), 1)
             density = n_live / (t_probe * cfg.bcsr_block ** 2)
             low_locality = density < 0.01
         else:
-            low_locality = False
-        want_res = cfg.bcsr_resident == "on" or (
+            t_probe, density, low_locality = 1, 1.0, False
+
+        fmt = resolve_bcsr_format(cfg, n_live, t_probe, density,
+                                  low_locality, on_tpu)
+        if fmt == "packets":
+            from tpugraph.nn.layers import PacketAdj
+            from tpugraph.ops.packets import (
+                pack_edges,
+                pack_edges_transpose,
+            )
+
+            br, bc, kk = cfg.packet_geom
+            p = pack_edges(s_np, r_np, w_np, n_pad,
+                           block_r=br, block_c=bc, k=kk)
+            p_t = pack_edges_transpose(s_np, r_np, w_np, n_pad,
+                                       block_r=br, block_c=bc, k=kk)
+            sp: Any = PacketAdj(p, p_t)
+            if p.num_nodes > n_pad:
+                extra = p.num_nodes - n_pad
+                feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
+                labels_pad = np.pad(labels_pad, (0, extra))
+                train_mask = np.pad(train_mask, (0, extra))
+                test_mask = np.pad(test_mask, (0, extra))
+                n_pad = p.num_nodes
+        else:
+          want_res = cfg.bcsr_resident == "on" or (
             cfg.bcsr_resident == "auto" and on_tpu and low_locality
             and resident_fits(
                 n_pad_blk, n_pad_blk, d_est, 4,
@@ -188,8 +258,8 @@ def train_node_classifier(
                     16, 2, cfg.bcsr_block, 1
                 ),
             )
-        )
-        if want_res:
+          )
+          if want_res:
             # VMEM-resident stacked path: int8 tiles when the weights are
             # exactly integer (unit adjacencies; rank-1 degree
             # normalizations factor into x/y scalings), bf16 otherwise
@@ -217,7 +287,7 @@ def train_node_classifier(
                 k_pack=kp_res,
             )
             m = m_host  # node-padding bookkeeping below
-        else:
+          else:
             if cfg.bcsr_k_pack < 0:
                 kp = choose_k_pack_counts(
                     coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block,
@@ -231,7 +301,7 @@ def train_node_classifier(
             m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
                                       block=cfg.bcsr_block, pad_rows_to=prt)
             sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
-        if m.num_nodes > n_pad:
+          if m.num_nodes > n_pad:
             extra = m.num_nodes - n_pad
             feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
             labels_pad = np.pad(labels_pad, (0, extra))
