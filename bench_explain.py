@@ -164,6 +164,87 @@ def main_bcsr() -> None:
     }))
 
 
+def main_mesh() -> None:
+    """Query-sharding overhead of the mesh tile-space explainer
+    (VERDICT r3 item 6): 8 queries run (a) sequentially through the
+    cached single-query executable and (b) sharded one-per-device over
+    the 8-device virtual CPU mesh.  Virtual devices time-share the host,
+    so the honest metric is the OVERHEAD ratio t_seq / t_mesh (1.0 = the
+    sharded program adds no work; on real chips the sharded wall-clock
+    would divide by the device count).  Masks are asserted equal."""
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8 "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpugraph.cli.config import Config
+    from tpugraph.cli.tasks import build_node_model, padded_features
+    from tpugraph.core.graph import graph_from_networkx
+    from tpugraph.data import featgen, gengraph
+    from tpugraph.explain import ExplainConfig, Explainer
+    from tpugraph.nn.layers import SparseAdj
+
+    G, labels, _ = gengraph.gen_syn1(
+        feature_generator=featgen.ConstFeatureGen(np.ones(10, np.float32)),
+        seed=0,
+    )
+    g = graph_from_networkx(G)
+    feat = padded_features(G, g)
+    cfg = Config(dataset="syn1")
+    model = build_node_model(cfg, feat.shape[1], int(max(labels)) + 1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feat),
+        SparseAdj(g.senders, g.receivers, g.edge_weight),
+    )
+    import networkx as nx
+
+    adj = np.asarray(nx.to_numpy_array(G), np.float32)[None]
+    epochs = 100
+    ex = Explainer(
+        model, params, adj, feat[None, : adj.shape[1]],
+        np.asarray(labels)[None],
+        np.zeros((1, adj.shape[1], int(max(labels)) + 1), np.float32),
+        n_hops=3, dataset="syn1", cfg=ExplainConfig(num_epochs=epochs),
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    nodes = list(range(400, 700, 38))[:8]
+
+    seq = ex.explain_nodes_bcsr(nodes, block=64)   # compile
+    t0 = time.perf_counter()
+    seq = ex.explain_nodes_bcsr(nodes, block=64)
+    t_seq = time.perf_counter() - t0
+    sh = ex.explain_nodes_bcsr(nodes, block=64, mesh=mesh)  # compile
+    t0 = time.perf_counter()
+    sh = ex.explain_nodes_bcsr(nodes, block=64, mesh=mesh)
+    t_mesh = time.perf_counter() - t0
+    for a, b in zip(seq, sh):
+        np.testing.assert_allclose(b["masked_adj"], a["masked_adj"],
+                                   atol=1e-5)
+    overhead_eff = t_seq / t_mesh
+    log(f"8 queries x {epochs} epochs: sequential {t_seq:.2f}s, "
+        f"mesh-sharded {t_mesh:.2f}s (overhead efficiency "
+        f"{overhead_eff:.2f}; masks identical)")
+    print(json.dumps({
+        "metric": "bcsr_explainer_query_sharding_overhead_eff_8dev",
+        "value": round(overhead_eff, 3),
+        "unit": "t_seq/t_mesh on time-shared virtual devices",
+        "vs_baseline": round(overhead_eff, 3),
+        "aggregate_steps_per_s_mesh": round(8 * epochs / t_mesh, 1),
+        "aggregate_steps_per_s_seq": round(8 * epochs / t_seq, 1),
+        "note": ("virtual CPU devices time-share the host: 1.0 means "
+                 "sharding adds no program overhead; real chips divide "
+                 "wall-clock by device count"),
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -229,7 +310,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--bcsr" in sys.argv:
+    if "--mesh" in sys.argv:
+        main_mesh()
+    elif "--bcsr" in sys.argv:
         main_bcsr()
     else:
         main()

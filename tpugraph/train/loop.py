@@ -124,6 +124,77 @@ def resolve_bcsr_format(cfg: "TrainConfig", n_live: int, t_probe: int,
     return "packets" if est_pkt < est_tiles else "tiles"
 
 
+# Process-level caches for the jitted epoch-chunk runner and the eval
+# forward.  Building `jax.jit` INSIDE train_node_classifier made every
+# call pay trace + persistent-cache deserialization again — measured as
+# the entire r3 "training regression": the identical 50-epoch chunk runs
+# at 4.16 ms/epoch when the executable is reused but 51.8 ms/epoch when
+# rebuilt per call (bench_train_diag.py, r4).  Keyed by (model, opt
+# config, dropout); jax.jit's own cache handles differing adjacency
+# pytree structures (SparseAdj / BCSRAdj / StackedAdj / PacketAdj).
+_CHUNK_CACHE: Dict[Any, Any] = {}
+_APPLY_CACHE: Dict[Any, Any] = {}
+
+
+def _eval_forward(model):
+    fn = _APPLY_CACHE.get(model)
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _APPLY_CACHE[model] = fn
+    return fn
+
+
+def _chunk_runner(model, ocfg: OptimizerConfig, has_dropout: bool):
+    import dataclasses as _dc
+    from functools import partial
+
+    key = (model, _dc.astuple(ocfg), has_dropout)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tx = build_optimizer(ocfg)
+
+    # graph/features/labels/class weights are jit ARGUMENTS: closing
+    # over them would bake them into the HLO as constants
+    # (compile-payload + dispatch cost at Enron/PPI scale — see
+    # ops/pallas_spmm.bcsr_matvec docstring).
+    @partial(jax.jit, static_argnames="length")
+    def run_chunk(p, s, key, x, sp, y, train_mask_d, test_mask_d, cw,
+                  length):
+        def loss_fn(p, key):
+            rngs = {"dropout": key} if has_dropout else None
+            logits, _ = model.apply(p, x, sp, deterministic=False,
+                                    rngs=rngs)
+            return (
+                node_cross_entropy(
+                    logits, y, class_weight=cw, node_mask=train_mask_d
+                ),
+                logits,
+            )
+
+        def epoch_step(carry, _):
+            p, s, key = carry
+            key, sub = jax.random.split(key)
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, sub)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            pred_lab = jnp.argmax(logits, axis=-1)
+            correct = (pred_lab == y).astype(jnp.float32)
+            train_acc = jnp.sum(correct * train_mask_d) / jnp.maximum(
+                jnp.sum(train_mask_d), 1.0
+            )
+            test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
+                jnp.sum(test_mask_d), 1.0
+            )
+            return (p, s, key), (loss, train_acc, test_acc)
+
+        return jax.lax.scan(epoch_step, (p, s, key), None, length=length)
+
+    _CHUNK_CACHE[key] = (run_chunk, tx)
+    return run_chunk, tx
+
+
 def split_nodes(
     num_nodes: int, train_ratio: float, rng: np.random.Generator
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -321,47 +392,9 @@ def train_node_classifier(
         if init_params is not None
         else model.init(jax.random.PRNGKey(seed), x, sp)
     )
-    tx = build_optimizer(_opt_config(cfg))
-    opt_state = init_opt_state if init_opt_state is not None else tx.init(params)
-
     has_dropout = getattr(model, "dropout", 0.0) > 0.001
-
-    from functools import partial
-
-    # graph/features/labels are jit ARGUMENTS: closing over them would bake
-    # them into the HLO as constants (compile-payload + dispatch cost at
-    # Enron/PPI scale — see ops/pallas_spmm.bcsr_matvec docstring).
-    @partial(jax.jit, static_argnames="length")
-    def run_chunk(p, s, key, x, sp, y, train_mask_d, test_mask_d, length):
-        def loss_fn(p, key):
-            rngs = {"dropout": key} if has_dropout else None
-            logits, _ = model.apply(p, x, sp, deterministic=False, rngs=rngs)
-            return (
-                node_cross_entropy(
-                    logits, y, class_weight=cw, node_mask=train_mask_d
-                ),
-                logits,
-            )
-
-        def epoch_step(carry, _):
-            p, s, key = carry
-            key, sub = jax.random.split(key)
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, sub
-            )
-            updates, s = tx.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            pred_lab = jnp.argmax(logits, axis=-1)
-            correct = (pred_lab == y).astype(jnp.float32)
-            train_acc = jnp.sum(correct * train_mask_d) / jnp.maximum(
-                jnp.sum(train_mask_d), 1.0
-            )
-            test_acc = jnp.sum(correct * test_mask_d) / jnp.maximum(
-                jnp.sum(test_mask_d), 1.0
-            )
-            return (p, s, key), (loss, train_acc, test_acc)
-
-        return jax.lax.scan(epoch_step, (p, s, key), None, length=length)
+    run_chunk, tx = _chunk_runner(model, _opt_config(cfg), has_dropout)
+    opt_state = init_opt_state if init_opt_state is not None else tx.init(params)
 
     history: Dict[str, List[float]] = {"loss": [], "train_acc": [], "test_acc": []}
     begin = time.time()
@@ -371,7 +404,7 @@ def train_node_classifier(
         chunk = min(cfg.scan_chunk, cfg.num_epochs - done)
         (params, opt_state, drop_key), (losses, tr_acc, te_acc) = run_chunk(
             params, opt_state, drop_key, x, sp, y, train_mask_d, test_mask_d,
-            chunk,
+            cw, chunk,
         )
         done += chunk
         history["loss"].extend(np.asarray(losses).tolist())
@@ -390,7 +423,7 @@ def train_node_classifier(
 
     # Final eval-mode forward producing the cg `pred` (reference
     # train.py:346-358).
-    logits, _ = jax.jit(model.apply)(params, x, sp)
+    logits, _ = _eval_forward(model)(params, x, sp)
     ypred = np.asarray(logits)[None]  # [1, N_pad, C]
     result_train, result_test = eval_node(
         ypred[:, :n_real], np.asarray(labels)[None], train_idx, test_idx
