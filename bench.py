@@ -224,14 +224,20 @@ def main() -> None:
         resident_fits, spmm_stacked_resident, stack_bcsr,
     )
 
+    # resident chain emits bf16 via the in-kernel scratch-accumulator
+    # downcast (ONE cast in the final grid step — unlike the streaming
+    # kernel's per-row-block downcast, which is 40% slower than f32-out):
+    # measured +14% banded (0.874 -> 0.765 ms/iter, bench_resident_diag3)
     @partial(jax.jit, static_argnames=("k", "kp"))
     def chained_resident(st, x, k, kp):
         def body(xc, _):
-            y = spmm_stacked_resident(st, xc, k_pack=kp, interpret=interp)
-            y = y.astype(jnp.bfloat16)
-            dx = spmm_stacked_resident(st, y, k_pack=kp, interpret=interp)
-            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
-            return (dx * scale).astype(jnp.bfloat16), ()
+            y = spmm_stacked_resident(st, xc, k_pack=kp, interpret=interp,
+                                      out_dtype=jnp.bfloat16)
+            dx = spmm_stacked_resident(st, y, k_pack=kp, interpret=interp,
+                                       out_dtype=jnp.bfloat16)
+            dxf = dx.astype(jnp.float32)
+            scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
+            return (dxf * scale).astype(jnp.bfloat16), ()
 
         xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
         return jnp.sum(xf.astype(jnp.float32))
@@ -325,13 +331,13 @@ def main() -> None:
         tpk = time.perf_counter()
         m_host8 = bcsr_from_coo(s, r, w, n, block=block,
                                 tile_dtype=jnp.int8, device=False)
-        st_b = stack_bcsr(m_host8, stack=2, k_pack=32)
+        st_b = stack_bcsr(m_host8, stack=1, k_pack=64)
         jax.block_until_ready(st_b.tiles)
         log(f"banded resident pack+stack+upload: "
             f"{time.perf_counter()-tpk:.1f}s ({st_b.num_tiles} stacks)")
         t_res_banded, cks_rb = run(
-            "resident-banded-s2-int8-kp32",
-            partial(chained_resident, kp=32), (st_b, x),
+            "resident-banded-s1-int8-kp64-bf16out",
+            partial(chained_resident, kp=64), (st_b, x),
         )
         rel_rb = abs(cks_rb - cks_c) / (abs(cks_c) + 1e-9)
         assert rel_rb < 5e-2, "banded resident/coo divergence"
@@ -381,14 +387,15 @@ def main() -> None:
             f"HBM {stats['hbm_util']:.1%}")
         return stats
 
-    def roofline_resident(st, t_iter, n_edges, tag):
+    def roofline_resident(st, t_iter, n_edges, tag, out_bytes=2):
         """Resident-kernel accounting: tiles are the only repeated HBM
-        stream; x loads once and out writes once per SpMM."""
+        stream; x loads once and out writes once per SpMM (bf16 out via
+        the scratch-accumulator downcast)."""
         area = st.num_tiles * st.stack * st.block * st.block
         dense_flops = 2 * (2 * area * d)
         bytes_per = 2 * (
             int(st.tiles.size) * jnp.dtype(st.tiles.dtype).itemsize
-            + st.num_nodes * d * 2 + st.num_row_nodes * d * 4
+            + st.num_nodes * d * 2 + st.num_row_nodes * d * out_bytes
         )
         stats = {
             "density": n_edges / area,

@@ -67,7 +67,8 @@ def _variant_kernel_factory(k_pack, block, stack, mode):
                 )
                 continue
             if mode == "nodot":
-                acc_v = xv.astype(jnp.float32) + tile[0, 0]
+                acc_v = (xv.astype(jnp.float32)
+                         + tile[0:1, 0:1].astype(jnp.float32))
             else:
                 acc_v = jnp.dot(tile, xv,
                                 preferred_element_type=jnp.float32)
@@ -110,6 +111,10 @@ def run_variant(st, x, mode, k_pack, d, reps=3, K=50):
     n, n_out, b, t = st.num_nodes, st.num_row_nodes, st.block, st.num_tiles
     stack = st.stack
 
+    scratch = []
+    if mode == "sorted":
+        scratch = [pltpu.VMEM((b, d), jnp.float32),
+                   pltpu.SMEM((1,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t // k_pack,),
@@ -119,21 +124,24 @@ def run_variant(st, x, mode, k_pack, d, reps=3, K=50):
             pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
         ],
         out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
+        scratch_shapes=scratch,
     )
-    scratch = []
-    if mode == "sorted":
-        scratch = [pltpu.VMEM((b, d), jnp.float32),
-                   pltpu.SMEM((1,), jnp.int32)]
+    tile_b = jnp.dtype(st.tiles.dtype).itemsize
 
     def one(xc):
         return pl.pallas_call(
             _variant_kernel_factory(k_pack, b, stack, mode),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * t * stack * b * b * d,
+                bytes_accessed=t * stack * b * b * tile_b
+                + n * d * 2 + n_out * d * 4,
+                transcendentals=0,
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 2**20
             ),
-            scratch_shapes=scratch,
         )(st.rows, st.col_blk, st.tiles, xc)
 
     @partial(jax.jit, static_argnames=("k",))
@@ -184,58 +192,89 @@ def main() -> None:
     else:
         n, deg, d, block, kp = 1024, 8, 128, 128, 4
 
+    # chain-body overhead floor (no kernels): the two bf16 casts +
+    # renormalize the chain harness adds per iteration
+    from functools import partial as _p
+
+    @_p(jax.jit, static_argnames="k")
+    def chained_empty(x, k):
+        def body(xc, _):
+            dx = xc.astype(jnp.float32)
+            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return (dx * scale).astype(jnp.bfloat16), ()
+
+        xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
+        return jnp.sum(xf.astype(jnp.float32))
+
     out = {"metric": "resident_kernel_overhead_attribution",
            "value": 0.0, "unit": "ms/iter", "vs_baseline": 1.0}
-    for gname in ("powerlaw", "banded"):
-        if gname == "powerlaw":
+    import dataclasses
+
+    graphs = sys.argv[1:] or ["powerlaw", "banded"]
+    for gname in graphs:
+        if gname.startswith("powerlaw"):
             s, r, w = make_powerlaw_graph(n, deg)
+            # powerlaw kernel compiles take ~45 min each through the
+            # remote tunnel (graph-size-dependent; banded takes ~20 s),
+            # so powerlaw variants are invoked one at a time:
+            # `python bench_resident_diag2.py powerlaw:<kp>`
+            kps = ((int(gname.split(":")[1]),) if ":" in gname
+                   else (256,)) if on_tpu else (4,)
+            gname = "powerlaw"
         else:
             s, r, w = make_banded_graph(n, deg, 192)
+            kps = (32, 64, 128, 256, 384) if on_tpu else (4,)
         e = len(s)
         m_host = bcsr_from_coo(s, r, w, n, block=block,
                                tile_dtype=jnp.int8, device=False)
-        st = stack_bcsr(m_host, stack=1, k_pack=kp)
-        # row-major sorted copy for the 'sorted' variant
-        order = np.lexsort((np.asarray(m_host.col_blk),
-                            np.asarray(m_host.row_of)))
-        import dataclasses
-
-        m_sorted = dataclasses.replace(
-            m_host,
-            tiles=np.asarray(m_host.tiles)[order],
-            col_blk=np.asarray(m_host.col_blk)[order],
-            row_of=np.asarray(m_host.row_of)[order],
-        )
-        st_sorted = stack_bcsr(m_sorted, stack=1, k_pack=kp)
-        x = jnp.asarray(
-            np.random.default_rng(2).standard_normal(
-                (st.num_nodes, d)).astype(np.float32)
-        )
+        x = None
         res = {}
-        for mode in ("full", "sorted", "fixedrow", "storeonly", "nodot",
-                     "dmaonly"):
-            stv = st_sorted if mode == "sorted" else st
-            try:
-                per_iter, cks = run_variant(stv, x, mode, kp, d)
-                res[mode] = round(per_iter * 1e3, 3)
-                if mode in ("full", "sorted"):
-                    res[f"{mode}_edges_per_s"] = round(2 * e / per_iter)
-            except Exception as exc:  # noqa: BLE001
-                log(f"[{mode}] FAILED: {exc}")
-                res[mode] = None
+        for kpv in kps:
+            st = stack_bcsr(m_host, stack=1, k_pack=kpv)
+            if x is None:
+                x = jnp.asarray(
+                    np.random.default_rng(2).standard_normal(
+                        (st.num_nodes, d)).astype(np.float32)
+                )
+                t0 = time.perf_counter()
+                o = chained_empty(x, 50)
+                o.block_until_ready()
+                t0 = time.perf_counter()
+                o = chained_empty(x, 50)
+                o.block_until_ready()
+                res["empty_chain"] = round(
+                    (time.perf_counter() - t0) / 50 * 1e3, 3)
+                log(f"[empty-chain] {res['empty_chain']} ms/iter")
+            if gname == "powerlaw" and on_tpu:
+                modes = ("full",)  # each compile ~45 min; one at a time
+            elif kpv == kps[-1] and on_tpu:
+                modes = ("full", "dmaonly", "sorted", "storeonly", "nodot")
+            else:
+                modes = ("full", "dmaonly")
+            for mode in modes:
+                try:
+                    per_iter, cks = run_variant(st, x, mode, kpv, d)
+                    res[f"{mode}_kp{kpv}"] = round(per_iter * 1e3, 3)
+                    if mode in ("full", "sorted"):
+                        res[f"{mode}_kp{kpv}_edges_per_s"] = round(
+                            2 * e / per_iter)
+                except Exception as exc:  # noqa: BLE001
+                    log(f"[{mode} kp{kpv}] FAILED: {exc}")
+                    res[f"{mode}_kp{kpv}"] = None
         out[gname] = res
         out[gname + "_edges"] = e
-        t_tiles = st.num_tiles
+        t_tiles = ((m_host.num_tiles + kps[0] - 1) // kps[0]) * kps[0]
         dense_ms = 2 * 2 * t_tiles * block * block * d / 197e12 * 1e3
         hbm_ms = 2 * (t_tiles * block * block
-                      + st.num_nodes * d * 2
-                      + st.num_row_nodes * d * 4) / 819e9 * 1e3
+                      + n * d * 2 + n * d * 4) / 819e9 * 1e3
         out[gname + "_floor_ms"] = {"mxu_dense": round(dense_ms, 3),
                                     "hbm": round(hbm_ms, 3)}
         log(f"{gname}: floors mxu={dense_ms:.3f} hbm={hbm_ms:.3f} ms/iter; "
             f"{res}")
-    if out["powerlaw"].get("full"):
-        out["value"] = out["powerlaw"]["full"]
+    pl_best = [v for k, v in out["powerlaw"].items()
+               if k.startswith("full_kp") and isinstance(v, float)]
+    if pl_best:
+        out["value"] = min(pl_best)
     print(json.dumps(out))
 
 

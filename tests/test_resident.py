@@ -48,6 +48,28 @@ def test_resident_matches_dense(stack, dt):
     assert np.abs(y - ref).max() / np.abs(ref).max() < tol
 
 
+def test_resident_bf16_out_matches_f32():
+    """out_dtype=bfloat16 (persistent-scratch accumulate + one final
+    downcast) matches the f32 output to bf16 rounding — the r4 +14%
+    bench arrangement."""
+    n, e, d = 1024, 4000, 128
+    s, r, w = _random_graph(n, e)
+    x = np.random.default_rng(1).standard_normal((n, d)).astype(np.float32)
+    m = bcsr_from_coo(s, r, w, n, block=256, tile_dtype=jnp.int8,
+                      device=False)
+    st = stack_bcsr(m, stack=1, k_pack=4)
+    xd = jnp.asarray(x, jnp.bfloat16)
+    y32 = np.asarray(spmm_stacked_resident(st, xd, k_pack=4,
+                                           interpret=True))
+    y16 = spmm_stacked_resident(st, xd, k_pack=4, interpret=True,
+                                out_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y16, np.float32), y32,
+        atol=np.abs(y32).max() * 8e-3,
+    )
+
+
 def test_stack_drops_dead_padding_tiles():
     """pad_rows_to dead tiles in the source BCSR must not survive into
     the stacked layout (they would dilute the stacks)."""

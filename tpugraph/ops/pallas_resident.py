@@ -219,13 +219,20 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
 
 
 def _resident_kernel_factory(k_pack: int, block: int, stack: int,
-                             packed4: bool = False):
-    def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref):
+                             packed4: bool = False, cast_out: bool = False):
+    def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref, *scratch):
+        # cast_out: accumulate in a persistent f32 VMEM scratch and write
+        # the (narrower) out operand ONCE in the last step — halves the
+        # final HBM writeback.  MEASURED r4 (bench_resident_diag3): +14%
+        # on the banded chain (0.874 -> 0.765 ms/iter); unlike the
+        # STREAMING kernel's per-row-block downcast (40% slower, r3),
+        # the resident accumulator pays the cast exactly once.
+        acc_ref = scratch[0] if cast_out else out_ref
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         base = i * k_pack
         for j in range(k_pack):
@@ -245,7 +252,12 @@ def _resident_kernel_factory(k_pack: int, block: int, stack: int,
             acc = jnp.dot(tile, xv, preferred_element_type=jnp.float32)
             for s in range(stack):
                 r0 = rows_ref[(base + j) * stack + s] * block
-                out_ref[pl.ds(r0, block), :] += acc[s * block:(s + 1) * block]
+                acc_ref[pl.ds(r0, block), :] += acc[s * block:(s + 1) * block]
+
+        if cast_out:
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _():
+                out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
     return kernel
 
@@ -255,15 +267,19 @@ def spmm_stacked_resident(
     x: jax.Array,
     k_pack: int = 4,
     interpret: Optional[bool] = None,
+    out_dtype=None,
 ) -> jax.Array:
     """``y = A @ x`` with A column-stacked and x/out VMEM-resident.
 
     ``x`` is ``[num_nodes, D]`` (bf16 recommended — resident copy is
-    half the size and feeds the MXU directly); output is f32
-    ``[num_row_nodes, D]``.  Requires
-    ``num_nodes*D*x.itemsize + num_row_nodes*D*4`` well under VMEM
-    (~110 MB budget); callers fall back to the streaming kernels above
-    that size (see :func:`resident_fits`)."""
+    half the size and feeds the MXU directly); output is
+    ``[num_row_nodes, D]`` at ``out_dtype`` (default f32).
+    ``out_dtype=bfloat16`` accumulates in a persistent f32 VMEM scratch
+    and downcasts once in the final grid step — measured +14% on the
+    banded chain (bench_resident_diag3, r4); accumulation precision is
+    identical.  Requires the resident buffers to fit
+    under the ~110 MB VMEM budget; callers fall back to the streaming
+    kernels above that size (see :func:`resident_fits`)."""
     n, d = x.shape
     assert n == m.num_nodes, (n, m.num_nodes)
     assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
@@ -274,16 +290,25 @@ def spmm_stacked_resident(
     assert t % k_pack == 0, f"pad stacks to a multiple of {k_pack}"
     if interpret is None:
         interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    out_dtype = jnp.dtype(out_dtype)
+    cast_out = out_dtype != jnp.float32
     win = tile_window_bytes_for(
         k_pack, stack, b, jnp.dtype(m.tiles.dtype).itemsize, m.packed4
     )
-    assert resident_fits(n, n_out, d, x.dtype.itemsize,
-                         tile_window_bytes=win), (
+    # cast_out keeps BOTH the f32 scratch accumulator and the narrow out
+    # operand resident
+    out_budget = n_out * d * (4 + out_dtype.itemsize) if cast_out \
+        else n_out * d * 4
+    assert resident_fits(n, 0, d, x.dtype.itemsize,
+                         tile_window_bytes=win + out_budget), (
         f"resident buffers exceed VMEM budget: x[{n},{d}] + out[{n_out},{d}]"
         f" + {win >> 20} MB tile window"
     )
 
     tile_cols = b // 2 if m.packed4 else b
+    scratch = [pltpu.VMEM((n_out, d), jnp.float32)] if cast_out else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t // k_pack,),
@@ -293,16 +318,17 @@ def spmm_stacked_resident(
             pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
         ],
         out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
+        scratch_shapes=scratch,
     )
     tile_b = jnp.dtype(m.tiles.dtype).itemsize
     return pl.pallas_call(
-        _resident_kernel_factory(k_pack, b, stack, m.packed4),
+        _resident_kernel_factory(k_pack, b, stack, m.packed4, cast_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * stack * b * b * d,
             bytes_accessed=t * stack * b * tile_cols * tile_b
-            + n * d * x.dtype.itemsize + n_out * d * 4,
+            + n * d * x.dtype.itemsize + n_out * d * out_dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
