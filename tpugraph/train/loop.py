@@ -90,10 +90,13 @@ def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> Optim
 
 
 # Measured v5e rates for the pack-latency-aware format rule
-# (BENCH_r03; fwd+bwd SpMM pairs on the 65k/2.1M powerlaw bench):
+# (BENCH_r03/r04; fwd+bwd SpMM pairs on the 65k/2.1M powerlaw bench):
 _RES_EDGES_PER_S = 9.4e8       # resident-stacked kernel steady state
 _PKT_EDGES_PER_S = 2.26e8      # edge-packet kernel steady state
-_RES_PACK_S_PER_TILE = 3.5e-3  # int8 emit + tunnel upload, per 256^2 tile
+_RES_PACK_S_PER_TILE = 0.92e-3  # int8 emit + stack + upload, per 256^2
+                                # tile (19.0 s / 20736 tiles measured
+                                # r4, bench_tunnel_diag — the r3 72 s
+                                # figure was stale)
 _PKT_PACK_S_PER_EDGE = 1.2e-6  # no tile materialization
 _SPMM_PAIRS_PER_EPOCH = 3      # 3-layer encoder: one pair per layer
 
