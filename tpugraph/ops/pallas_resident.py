@@ -138,12 +138,20 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
         # packer's layout as-is, just pad the tile count to k_pack.  Skips
         # the lexsort + 1.4 GB scatter copy (~60-110 s host time at 21k
         # 256^2 tiles — the s1 path is the bench default, keep it cheap).
-        # Dead padding tiles (all-zero, from pad_rows_to) are still
-        # dropped — one memory-bound np.any scan (advisor r3).
-        live_mask = np.any(tiles != 0, axis=(1, 2))
-        if not live_mask.all():
-            keep = np.flatnonzero(live_mask)
-            tiles, row, col = tiles[keep], row[keep], col[keep]
+        # Dead padding tiles (all-zero, from pad_rows_to / empty-row
+        # coverage) are still dropped (advisor r3) — but scanning ALL
+        # tiles costs 9.2 s host time at 21k 256^2 tiles (measured r4).
+        # Every packer-injected dead tile points at column block 0
+        # (bcsr_from_coo / _pad_rows_layout / bcsr_pad_tiles convention),
+        # so only those candidates need the np.any check.
+        cand = np.flatnonzero(col == 0)
+        if cand.size:
+            cand_live = np.any(tiles[cand] != 0, axis=(1, 2))
+            if not cand_live.all():
+                live_mask = np.ones(tiles.shape[0], bool)
+                live_mask[cand[~cand_live]] = False
+                keep = np.flatnonzero(live_mask)
+                tiles, row, col = tiles[keep], row[keep], col[keep]
         t = tiles.shape[0]
         t2p = ((t + k_pack - 1) // k_pack) * k_pack
         if t2p != t:
