@@ -467,13 +467,28 @@ def main() -> None:
     # halves both the dominant tile HBM stream and the pack upload vs
     # the r2-vintage bf16 emit (2.8 GB -> 1.4 GB through the tunnel)
     td2 = jnp.int8 if td is not None else td
+    # ONE host emit serves both the streaming dense-tile path and the
+    # resident stack (stack_bcsr drops the pad_rows_to dead tiles via
+    # the cheap col-0 candidate scan) — the duplicated emit was half of
+    # the r3 "resident pack" cost
+    import dataclasses as _dc
+
     tpk = time.perf_counter()
-    m2 = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td2,
-                       pad_rows_to=prt2)
+    m2_host = bcsr_from_coo(s2o, r2o, w2, n_r, block=block, tile_dtype=td2,
+                            pad_rows_to=prt2, device=False)
+    emit_s = time.perf_counter() - tpk
+    tpk = time.perf_counter()
+    m2 = _dc.replace(
+        m2_host,
+        tiles=jnp.asarray(m2_host.tiles),
+        col_blk=jnp.asarray(m2_host.col_blk),
+        row_ptr=jnp.asarray(m2_host.row_ptr),
+        row_of=jnp.asarray(m2_host.row_of),
+    )
     jax.block_until_ready(m2.tiles)
-    dense_pack_s = time.perf_counter() - tpk
+    dense_pack_s = emit_s + time.perf_counter() - tpk
     log(f"powerlaw dense-tile pack+upload: {dense_pack_s:.1f}s "
-        f"({m2.num_tiles} tiles; fused native int8 emit)")
+        f"({m2.num_tiles} tiles; fused native int8 emit {emit_s:.1f}s)")
     m2_t = m2  # symmetric unit-weight graph: A^T == A (see above)
     log(f"powerlaw packing k={kp2 if use_packed2 else 'off'} "
         f"(pad overhead {ovh2:.2f})")
@@ -558,13 +573,12 @@ def main() -> None:
     res_eps, res_pack_s = None, None
     if resident_fits(m2.num_nodes, m2.num_nodes, d):
         tpk = time.perf_counter()
-        m2_host = bcsr_from_coo(s2o, r2o, w2, n_r, block=block,
-                                tile_dtype=jnp.int8, device=False)
         st2 = stack_bcsr(m2_host, stack=1, k_pack=KP_RES)
         jax.block_until_ready(st2.tiles)
-        res_pack_s = time.perf_counter() - tpk
-        log(f"powerlaw resident pack+upload: {res_pack_s:.1f}s "
-            f"({st2.num_tiles} tiles of {block}^2 int8)")
+        res_pack_s = emit_s + time.perf_counter() - tpk
+        log(f"powerlaw resident pack+upload: {res_pack_s:.1f}s incl. the "
+            f"shared {emit_s:.1f}s emit ({st2.num_tiles} tiles of "
+            f"{block}^2 int8)")
         t_res, cks_res = run(
             f"resident-powerlaw-s1-int8-kp{KP_RES}",
             partial(chained_resident, kp=KP_RES), (st2, x2),

@@ -145,19 +145,27 @@ def stack_bcsr(m: BCSR, stack: int = 2, k_pack: int = 4) -> BCSRStacked:
         # (bcsr_from_coo / _pad_rows_layout / bcsr_pad_tiles convention),
         # so only those candidates need the np.any check.
         cand = np.flatnonzero(col == 0)
+        keep = None
         if cand.size:
             cand_live = np.any(tiles[cand] != 0, axis=(1, 2))
             if not cand_live.all():
                 live_mask = np.ones(tiles.shape[0], bool)
                 live_mask[cand[~cand_live]] = False
                 keep = np.flatnonzero(live_mask)
-                tiles, row, col = tiles[keep], row[keep], col[keep]
-        t = tiles.shape[0]
+        t = tiles.shape[0] if keep is None else len(keep)
         t2p = ((t + k_pack - 1) // k_pack) * k_pack
-        if t2p != t:
-            tiles = np.concatenate(
-                [tiles, np.zeros((t2p - t,) + tiles.shape[1:], tiles.dtype)]
-            )
+        if keep is not None or t2p != t:
+            # ONE gather into the preallocated padded buffer (a separate
+            # tiles[keep] + concatenate pair costs two full 1.35 GB
+            # copies at bench scale)
+            new_tiles = np.zeros((t2p,) + tiles.shape[1:], tiles.dtype)
+            if keep is None:
+                new_tiles[:t] = tiles
+            else:
+                np.take(tiles, keep, axis=0, out=new_tiles[:t])
+                col = col[keep]
+                row = row[keep]
+            tiles = new_tiles
             col = np.concatenate([col, np.zeros(t2p - t, np.int32)])
             row = np.concatenate([row, np.zeros(t2p - t, np.int32)])
         return BCSRStacked(
