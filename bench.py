@@ -643,6 +643,20 @@ def main() -> None:
                 "powerlaw_tile_density": round(real_stats["density"], 5),
                 "powerlaw_ordering": best,
                 "powerlaw_tiles_by_ordering": counts,
+                # measured binding resources (bench_resident_diag2/3, r4;
+                # BASELINE_MEASURED.md "Round-4"): neither chain is
+                # MXU- or RMW-bound
+                "banded_binding": (
+                    "fixed ~0.2 ms per pallas_call (x2/iter) + resident "
+                    "writeback; kp-invariant 24->2 grid steps, "
+                    "dma-only == full kernel"
+                ),
+                "powerlaw_binding": (
+                    "MXU dense-FLOP floor 3.51 ms/iter at ~80% + the "
+                    "same per-call overhead; int8 tile stream fully "
+                    "overlapped; hybrid dense+packet split refuted "
+                    "(8.84 vs 2.14 ns/edge)"
+                ),
             }
         )
     )

@@ -60,7 +60,8 @@ def _kernel_factory(k_pack, block, mode):
     return kernel
 
 
-def run_cfg(st, x, mode, k_pack, d, K=50, reps=3):
+def run_cfg(st, x, mode, k_pack, d, K=50, reps=3,
+            vmem_limit=110 * 2**20):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -92,7 +93,7 @@ def run_cfg(st, x, mode, k_pack, d, K=50, reps=3):
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 2**20
+                vmem_limit_bytes=vmem_limit
             ),
         )(st.rows, st.col_blk, st.tiles, xc)
 
@@ -159,6 +160,18 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 log(f"[{tag} {mode}] FAILED: {exc}")
                 res[mode] = None
+        if tag == "n65536" and on_tpu:
+            # does the per-call fixed cost scale with the requested VMEM
+            # budget?  scratchacc buffers need ~75 MB; ask for exactly
+            # that instead of the blanket 110 MB.
+            try:
+                per = run_cfg(st, x, "scratchacc", kpv, d,
+                              vmem_limit=80 * 2**20)
+                res["scratchacc_vmem80"] = round(per * 1e3, 3)
+                log(f"[scratchacc vmem80] {res['scratchacc_vmem80']} "
+                    f"ms/iter")
+            except Exception as exc:  # noqa: BLE001
+                log(f"[scratchacc vmem80] FAILED: {exc}")
         out[tag] = res
         if not on_tpu:
             break
