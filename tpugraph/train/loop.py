@@ -329,7 +329,7 @@ def train_node_classifier(
             and resident_fits(
                 n_pad_blk, n_pad_blk, d_est, 4,
                 tile_window_bytes=tile_window_bytes_for(
-                    16, 2, cfg.bcsr_block, 1
+                    64, 1, cfg.bcsr_block, 1
                 ),
             )
           )
@@ -348,7 +348,11 @@ def train_node_classifier(
                     "bcsr_resident='off' for exact f32-tile aggregation)",
                     flush=True,
                 )
-            kp_res = 16
+            # s1/kp64: the bench-best resident layout (r4 kp sweep:
+            # kernel time is kp-invariant, stacking neutral) — and the
+            # stack=1 path needs NO host lexsort/scatter, so the pack is
+            # seconds cheaper at scale
+            kp_res = 64
             m_host = bcsr_from_coo(s_np, r_np, w_np, n_pad,
                                    block=cfg.bcsr_block, tile_dtype=tdt,
                                    device=False)
@@ -356,8 +360,8 @@ def train_node_classifier(
                                            block=cfg.bcsr_block,
                                            tile_dtype=tdt, device=False)
             sp = StackedAdj(
-                st=stack_bcsr(m_host, stack=2, k_pack=kp_res),
-                st_t=stack_bcsr(m_t_host, stack=2, k_pack=kp_res),
+                st=stack_bcsr(m_host, stack=1, k_pack=kp_res),
+                st_t=stack_bcsr(m_t_host, stack=1, k_pack=kp_res),
                 k_pack=kp_res,
             )
             m = m_host  # node-padding bookkeeping below
