@@ -76,3 +76,17 @@ def test_explain_missing_checkpoint_message(tmp_path):
     )
     assert out.returncode != 0
     assert "train a model" in out.stderr
+
+
+def test_bcsr_format_flag_reaches_train_config():
+    """--bcsr-format plumbs through Config into TrainConfig (the packet
+    product path is CLI-reachable, VERDICT r3 item 8)."""
+    from tpugraph.cli.config import parse_train_args
+    from tpugraph.cli.tasks import train_config
+
+    cfg = parse_train_args(
+        ["--dataset", "syn1", "--bcsr", "--bcsr-format", "packets"]
+    )
+    assert cfg.bcsr_format == "packets"
+    tc = train_config(cfg)
+    assert tc.bcsr_format == "packets" and tc.use_bcsr

@@ -82,6 +82,8 @@ class Config:
     num_devices: int = 0            # 0 = all visible
     use_bcsr: bool = False          # Pallas block-sparse aggregation (TPU)
     bcsr_block: int = 128
+    bcsr_format: str = "auto"       # auto | tiles | packets (pack-
+                                    # latency-aware rule; train/loop.py)
     dp_devices: int = 1             # >1: data-parallel graph training over
                                     # a 1-D mesh of this many devices
 
@@ -126,6 +128,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "node-classification aggregation")
     p.add_argument("--bcsr-block", dest="bcsr_block", type=int,
                    default=d.bcsr_block)
+    p.add_argument("--bcsr-format", dest="bcsr_format",
+                   choices=("auto", "tiles", "packets"),
+                   default=d.bcsr_format,
+                   help="low-locality tile format: packets pack ~30x "
+                        "faster but run ~4x slower steady-state; auto "
+                        "picks by total time")
     p.add_argument("--dp", dest="dp_devices", type=int, default=d.dp_devices,
                    help="data-parallel graph training over N devices")
 

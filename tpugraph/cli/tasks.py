@@ -44,6 +44,7 @@ def train_config(cfg: Config) -> TrainConfig:
         eval_every=cfg.eval_every,
         use_bcsr=cfg.use_bcsr,
         bcsr_block=cfg.bcsr_block,
+        bcsr_format=cfg.bcsr_format,
     )
 
 
