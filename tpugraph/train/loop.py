@@ -303,6 +303,16 @@ def train_node_classifier(
 
         fmt = resolve_bcsr_format(cfg, n_live, t_probe, density,
                                   low_locality, on_tpu)
+        want_res = fmt == "tiles" and (
+            cfg.bcsr_resident == "on"
+            or (cfg.bcsr_resident == "auto" and on_tpu and low_locality
+                and resident_fits(
+                    n_pad_blk, n_pad_blk, d_est, 4,
+                    tile_window_bytes=tile_window_bytes_for(
+                        64, 1, cfg.bcsr_block, 1
+                    ),
+                ))
+        )
         if fmt == "packets":
             from tpugraph.nn.layers import PacketAdj
             from tpugraph.ops.packets import (
@@ -316,24 +326,8 @@ def train_node_classifier(
             p_t = pack_edges_transpose(s_np, r_np, w_np, n_pad,
                                        block_r=br, block_c=bc, k=kk)
             sp: Any = PacketAdj(p, p_t)
-            if p.num_nodes > n_pad:
-                extra = p.num_nodes - n_pad
-                feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
-                labels_pad = np.pad(labels_pad, (0, extra))
-                train_mask = np.pad(train_mask, (0, extra))
-                test_mask = np.pad(test_mask, (0, extra))
-                n_pad = p.num_nodes
-        else:
-          want_res = cfg.bcsr_resident == "on" or (
-            cfg.bcsr_resident == "auto" and on_tpu and low_locality
-            and resident_fits(
-                n_pad_blk, n_pad_blk, d_est, 4,
-                tile_window_bytes=tile_window_bytes_for(
-                    64, 1, cfg.bcsr_block, 1
-                ),
-            )
-          )
-          if want_res:
+            new_n = p.num_nodes
+        elif want_res:
             # VMEM-resident stacked path: int8 tiles when the weights are
             # exactly integer (unit adjacencies; rank-1 degree
             # normalizations factor into x/y scalings), bf16 otherwise
@@ -364,8 +358,8 @@ def train_node_classifier(
                 st_t=stack_bcsr(m_t_host, stack=1, k_pack=kp_res),
                 k_pack=kp_res,
             )
-            m = m_host  # node-padding bookkeeping below
-          else:
+            new_n = m_host.num_nodes
+        else:
             if cfg.bcsr_k_pack < 0:
                 kp = choose_k_pack_counts(
                     coo_tile_counts(s_np, r_np, n_pad, block=cfg.bcsr_block,
@@ -379,13 +373,14 @@ def train_node_classifier(
             m_t = bcsr_transpose_host(s_np, r_np, w_np, n_pad,
                                       block=cfg.bcsr_block, pad_rows_to=prt)
             sp = BCSRAdj(m, m_t, k_pack=kp if kp > 1 else 0)
-          if m.num_nodes > n_pad:
-            extra = m.num_nodes - n_pad
+            new_n = m.num_nodes
+        if new_n > n_pad:
+            extra = new_n - n_pad
             feat = np.pad(np.asarray(feat), ((0, extra), (0, 0)))
             labels_pad = np.pad(labels_pad, (0, extra))
             train_mask = np.pad(train_mask, (0, extra))
             test_mask = np.pad(test_mask, (0, extra))
-            n_pad = m.num_nodes
+            n_pad = new_n
     else:
         sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
     x = jnp.asarray(feat, dtype=jnp.float32)
