@@ -68,11 +68,11 @@ def test_resolve_bcsr_format_crossover():
     steady-state 2.26e8 vs 9.4e8 edges/s)."""
     from tpugraph.train.loop import TrainConfig, resolve_bcsr_format
 
-    # bench-scale: 2.1M edges, 21k tiles, density 0.0015
+    # bench-scale: 2.1M edges, 21k tiles at 256-block, density 0.0015
     args = dict(n_live=2_100_000, t_probe=21_000, density=0.0015,
                 low_locality=True, on_tpu=True)
-    short = TrainConfig(num_epochs=100, use_bcsr=True)
-    long = TrainConfig(num_epochs=10_000, use_bcsr=True)
+    short = TrainConfig(num_epochs=100, use_bcsr=True, bcsr_block=256)
+    long = TrainConfig(num_epochs=10_000, use_bcsr=True, bcsr_block=256)
     assert resolve_bcsr_format(short, **args) == "packets"
     assert resolve_bcsr_format(long, **args) == "tiles"
     # dense-tile graphs never use packets
@@ -84,6 +84,40 @@ def test_resolve_bcsr_format_crossover():
     assert resolve_bcsr_format(forced, **args) == "tiles"
     # off-TPU auto never picks packets
     assert resolve_bcsr_format(short, **dict(args, on_tpu=False)) == "tiles"
+    # 128-block pack estimate scales by tile AREA (advisor r4): the same
+    # graph has ~4x more, ~4x cheaper tiles — same total pack cost, so
+    # the decision must not flip with block size
+    short128 = TrainConfig(num_epochs=100, use_bcsr=True, bcsr_block=128)
+    assert resolve_bcsr_format(
+        short128, **dict(args, t_probe=4 * 21_000)) == "packets"
+
+
+def test_resolve_bcsr_format_precedence_and_override(monkeypatch):
+    """Attention models and a forced resident path never get packets
+    (advisor r4: PacketAdj raises at trace time for att, and
+    bcsr_resident='on' must not be silently overridden); TPUGRAPH_RATES
+    overrides the v5e-measured constants (VERDICT r4 item 9)."""
+    from tpugraph.train.loop import TrainConfig, resolve_bcsr_format
+
+    args = dict(n_live=2_100_000, t_probe=21_000, density=0.0015,
+                low_locality=True, on_tpu=True)
+    short = TrainConfig(num_epochs=100, use_bcsr=True, bcsr_block=256)
+    assert resolve_bcsr_format(short, **args) == "packets"
+    # att forces tiles even when the cost model prefers packets
+    assert resolve_bcsr_format(short, **args, att=True) == "tiles"
+    # forced resident path forces tiles
+    res_on = TrainConfig(num_epochs=100, use_bcsr=True, bcsr_block=256,
+                         bcsr_resident="on")
+    assert resolve_bcsr_format(res_on, **args) == "tiles"
+    # rate override: a hypothetical chip where the resident pack is free
+    # flips the short-run decision to tiles
+    monkeypatch.setenv("TPUGRAPH_RATES", "res_pack_s_per_tile=0")
+    assert resolve_bcsr_format(short, **args) == "tiles"
+    monkeypatch.setenv("TPUGRAPH_RATES", "not_a_key=1")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown key"):
+        resolve_bcsr_format(short, **args)
 
 
 def test_train_packets_matches_coo(rng):

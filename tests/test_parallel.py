@@ -691,3 +691,131 @@ def test_tensor_parallel_matches_replicated(rng):
     # weights remain tensor-parallel after updates
     kern = p_tp["params"]["stack"]["conv_first"]["weight"]
     assert kern.sharding.spec == P(None, "model")
+
+
+def test_halo_bcsr_overlap_gat_matches_sparse(rng, mesh8):
+    """GAT on the OVERLAPPED BCSR-halo path (two tile-support SDDMMs,
+    one per split) matches the SparseAdj attention path, forward AND
+    gradients (VERDICT r4 item 7 done criterion — the guard at the
+    former nn/layers.py:433 is gone)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tpugraph.nn.layers import GraphConv, SparseAdj
+    from tpugraph.parallel.spmd import (
+        _overlap_adj_from_arrs,
+        _overlap_plan_arrs,
+        build_halo_bcsr_overlap,
+        build_halo_plan,
+    )
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    plan = build_halo_plan(g, 8)
+    oplan = build_halo_bcsr_overlap(plan, 8, block=8, att=True)
+    assert oplan.tp_loc is not None and oplan.tp_halo is not None
+    d = 6
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    layer = GraphConv(input_dim=d, output_dim=5, att=True)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = layer.init(jax.random.PRNGKey(0), x, sp)
+    y_ref, _ = layer.apply(params, x, sp)
+
+    def local(p, arrs, xl):
+        adj = _overlap_adj_from_arrs(arrs, "data")
+        y, _ = layer.apply(p, xl, adj)
+        return y
+
+    f = shard_map(
+        local, mesh=mesh8,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    arrs = _overlap_plan_arrs(oplan)
+    y_halo = f(params, arrs, x)
+    np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_ref),
+                               atol=1e-4)
+
+    def loss_sp(p):
+        y, _ = layer.apply(p, x, sp)
+        return jnp.sum(y * y)
+
+    def loss_halo(p):
+        y = f(p, arrs, x)
+        return jnp.sum(y * y)
+
+    g_sp = jax.grad(loss_sp)(params)
+    g_h = jax.grad(loss_halo)(params)
+    for k in ("att_weight", "weight"):
+        np.testing.assert_allclose(
+            np.asarray(g_h["params"][k]), np.asarray(g_sp["params"][k]),
+            atol=2e-3, rtol=1e-3,
+        )
+        assert float(np.abs(np.asarray(g_sp["params"][k])).max()) > 0
+
+
+def test_halo_unified_entry_point(rng, mesh8):
+    """build_halo + make_halo_train_step route BOTH overlap policies to
+    working kernels with matching losses (VERDICT r4 item 4): on the CPU
+    proxy 'auto' resolves to plain, 'on' forces the split path."""
+    import optax
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.spmd import (
+        HaloBCSROverlapPlan,
+        HaloBCSRPlan,
+        build_halo,
+        make_halo_forward,
+        make_halo_train_step,
+        resolve_halo_overlap,
+    )
+
+    assert resolve_halo_overlap("auto", mesh8) is False  # CPU proxy
+    assert resolve_halo_overlap("on", mesh8) is True
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    d, n_cls = 6, 3
+    x_np = rng.standard_normal((n, d)).astype(np.float32)
+    y_np = rng.integers(0, n_cls, n).astype(np.int32)
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=n_cls, num_layers=2)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np), sp)
+    tx = optax.adam(1e-2)
+
+    losses = {}
+    for overlap, want_type in (("auto", HaloBCSRPlan),
+                               ("on", HaloBCSROverlapPlan)):
+        plan = build_halo(g, mesh8, bcsr=True, block=8, overlap=overlap)
+        assert isinstance(plan, want_type), (overlap, type(plan))
+        n_total = plan.shard_size * 8
+        x = jnp.zeros((n_total, d), jnp.float32).at[:n].set(x_np)
+        y = jnp.zeros((n_total,), jnp.int32).at[:n].set(y_np)
+        m = jnp.zeros((n_total,), jnp.float32).at[:n].set(1.0)
+        step = make_halo_train_step(model, tx, mesh8, plan)
+        p, o = params, tx.init(params)
+        p, o, loss = step(p, o, plan, x, y, m)
+        losses[overlap] = float(loss)
+        fwd = make_halo_forward(model, mesh8, plan)
+        logits = fwd(p, plan, x)
+        assert np.all(np.isfinite(np.asarray(logits)))
+    # same edges, same numerics: plain and split losses agree
+    np.testing.assert_allclose(losses["auto"], losses["on"],
+                               rtol=1e-5, atol=1e-6)
+
+    # COO route through the same entry point
+    plan_coo = build_halo(g, mesh8, bcsr=False, overlap="off")
+    n_total = plan_coo.shard_size * 8
+    x = jnp.zeros((n_total, d), jnp.float32).at[:n].set(x_np)
+    y = jnp.zeros((n_total,), jnp.int32).at[:n].set(y_np)
+    m = jnp.zeros((n_total,), jnp.float32).at[:n].set(1.0)
+    step = make_halo_train_step(model, tx, mesh8, plan_coo)
+    _, _, loss_coo = step(params, tx.init(params), plan_coo, x, y, m)
+    np.testing.assert_allclose(float(loss_coo), losses["auto"],
+                               rtol=1e-5, atol=1e-6)

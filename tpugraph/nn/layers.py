@@ -193,12 +193,15 @@ class HaloBCSROverlapAdj:
     m_loc_t: "object"     # transpose (backward dx)
     m_halo: "object"      # BCSR halo edges: rows=[Ns], cols=[halo buf]
     m_halo_t: "object"    # transpose (backward d_halo)
+    tp_loc: "object" = None   # BCSRTranspose plan of m_loc (GAT)
+    tp_halo: "object" = None  # BCSRTranspose plan of m_halo (GAT)
     axis: str = "data"    # mesh axis name (static)
 
 
 jax.tree_util.register_dataclass(
     HaloBCSROverlapAdj,
-    data_fields=["send_idx", "m_loc", "m_loc_t", "m_halo", "m_halo_t"],
+    data_fields=["send_idx", "m_loc", "m_loc_t", "m_halo", "m_halo_t",
+                 "tp_loc", "tp_halo"],
     meta_fields=["axis"],
 )
 
@@ -416,7 +419,13 @@ class GraphConv(nn.Module):
                     adj.m, tiles=adj.m.tiles * scores
                 )
                 y = bcsr_matvec_dw(eff, adj.tp, xx)[:ns, :d_in]
-                adj_att: Adjacency = _dataclasses.replace(adj, m=eff)
+                # null m_t like the BCSRAdj branch: the stale unattended
+                # transpose tiles would silently produce wrong backward
+                # dx if this adjacency were fed through the non-att
+                # bcsr_matvec path (advisor r4) — fail loudly instead
+                adj_att: Adjacency = _dataclasses.replace(
+                    adj, m=eff, m_t=None
+                )
             else:
                 y = bcsr_matvec(adj.m, adj.m_t, xx)[:ns, :d_in]
                 adj_att = adj
@@ -427,12 +436,17 @@ class GraphConv(nn.Module):
             # its contribution when the exchange lands (SURVEY §7 "halo
             # exchange overlap"; the op being scaled is reference
             # models.py:70).
-            from tpugraph.ops.pallas_spmm import LANES, bcsr_matvec
+            from tpugraph.ops.pallas_spmm import (
+                LANES,
+                bcsr_matvec,
+                bcsr_matvec_dw,
+                sddmm_dw,
+            )
 
-            if self.att:
+            if self.att and adj.tp_loc is None:
                 raise NotImplementedError(
-                    "GAT on the overlapped BCSR-halo path is not "
-                    "supported; use build_halo_bcsr(att=True) (HaloBCSRAdj)"
+                    "GAT on the overlapped BCSR-halo path needs transpose "
+                    "plans — build_halo_bcsr_overlap(att=True)"
                 )
             ns, d_in = x.shape
             send_buf = x[adj.send_idx]  # [n_dev, H, D]
@@ -443,15 +457,57 @@ class GraphConv(nn.Module):
             x_p = jnp.pad(
                 x, ((0, adj.m_loc.num_nodes - ns), (0, d_pad - d_in))
             )
-            y_loc = bcsr_matvec(adj.m_loc, adj.m_loc_t, x_p)
             h_p = jnp.pad(
                 halo,
                 ((0, adj.m_halo.num_nodes - halo.shape[0]),
                  (0, d_pad - d_in)),
             )
-            y_halo = bcsr_matvec(adj.m_halo, adj.m_halo_t, h_p)
+            if self.att:
+                # GAT on the overlapped split: attention scores are two
+                # tile-support SDDMMs (one per split BCSR) against the
+                # same receiver-side rows — together they cover exactly
+                # the [local | halo] support of the unsplit HaloBCSRAdj
+                # path (reference attention: models.py:62-68).  The
+                # local SDDMM + SpMM still have no data dependence on
+                # the all_to_all, so the overlap property is preserved.
+                x_att = jnp.matmul(x, att_weight,
+                                   preferred_element_type=jnp.float32)
+                h_att = jnp.matmul(halo, att_weight,
+                                   preferred_element_type=jnp.float32)
+                x_att_p = jnp.pad(
+                    x_att,
+                    ((0, adj.m_loc.num_nodes - ns), (0, d_pad - d_in)),
+                )
+                h_att_p = jnp.pad(
+                    h_att,
+                    ((0, adj.m_halo.num_nodes - halo.shape[0]),
+                     (0, d_pad - d_in)),
+                )
+                row_pad = adj.m_loc.num_row_nodes - ns
+                a_rows = jnp.pad(x_att_p[:ns], ((0, row_pad), (0, 0)))
+                sc_loc = sddmm_dw(adj.m_loc, adj.tp_loc, a_rows, x_att_p)
+                sc_halo = sddmm_dw(adj.m_halo, adj.tp_halo, a_rows,
+                                   h_att_p)
+                import dataclasses
+
+                eff_loc = dataclasses.replace(
+                    adj.m_loc, tiles=adj.m_loc.tiles * sc_loc
+                )
+                eff_halo = dataclasses.replace(
+                    adj.m_halo, tiles=adj.m_halo.tiles * sc_halo
+                )
+                y_loc = bcsr_matvec_dw(eff_loc, adj.tp_loc, x_p)
+                y_halo = bcsr_matvec_dw(eff_halo, adj.tp_halo, h_p)
+                # stale transposes nulled so misuse fails loudly
+                adj_att: Adjacency = _dataclasses.replace(
+                    adj, m_loc=eff_loc, m_halo=eff_halo,
+                    m_loc_t=None, m_halo_t=None,
+                )
+            else:
+                y_loc = bcsr_matvec(adj.m_loc, adj.m_loc_t, x_p)
+                y_halo = bcsr_matvec(adj.m_halo, adj.m_halo_t, h_p)
+                adj_att = adj
             y = (y_loc[:ns] + y_halo[:ns])[:, :d_in]
-            adj_att = adj
         elif isinstance(adj, HaloOverlapAdj):
             # Overlapped COO halo path: local segment_sum is independent
             # of the all_to_all, so the collective hides behind it.

@@ -362,11 +362,7 @@ def build_halo_bcsr(plan: HaloPlan, n_dev: int, block: int = 128,
     ``att=True`` additionally builds (and stacks) each device's
     :class:`BCSRTranspose` plan so GAT attention runs at kernel speed on
     the sharded path (tile-support SDDMM; VERDICT r3 item 9)."""
-    from tpugraph.ops.bcsr import (
-        bcsr_from_coo,
-        bcsr_pad_tiles,
-        bcsr_transpose_plan,
-    )
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_pad_tiles
 
     ns, h = plan.shard_size, plan.halo_size
     n_col = ns + n_dev * h
@@ -390,21 +386,7 @@ def build_halo_bcsr(plan: HaloPlan, n_dev: int, block: int = 128,
     mts = [bcsr_pad_tiles(m, tt_max) for m in mts]
 
     stack = _stack_bcsrs
-    tp_stacked = None
-    if att:
-        import dataclasses
-
-        tps = [bcsr_transpose_plan(m) for m in ms]
-        tp_max = max(t.num_tiles for t in tps)
-        tps = [_pad_tp(t, tp_max) for t in tps]
-        tp_stacked = dataclasses.replace(
-            tps[0],
-            col_blk=jnp.stack([t.col_blk for t in tps]),
-            row_ptr=jnp.stack([t.row_ptr for t in tps]),
-            row_of=jnp.stack([t.row_of for t in tps]),
-            perm=jnp.stack([t.perm for t in tps]),
-            keep=jnp.stack([t.keep for t in tps]),
-        )
+    tp_stacked = _stack_tps(ms) if att else None
 
     return HaloBCSRPlan(
         send_idx=plan.send_idx,
@@ -493,6 +475,8 @@ class HaloBCSROverlapPlan(NamedTuple):
     m_halo_t: object
     shard_size: int
     halo_size: int
+    tp_loc: object = None   # stacked BCSRTranspose of m_loc (GAT)
+    tp_halo: object = None  # stacked BCSRTranspose of m_halo (GAT)
 
 
 def _stack_bcsrs(lst):
@@ -511,12 +495,38 @@ def _stack_bcsrs(lst):
     )
 
 
+def _stack_tps(ms):
+    """Build each per-device BCSR's :class:`BCSRTranspose` plan, pad to
+    the max tile count, and stack over a leading device axis (GAT
+    tile-support SDDMM on the sharded paths)."""
+    import dataclasses
+
+    from tpugraph.ops.bcsr import bcsr_transpose_plan
+
+    tps = [bcsr_transpose_plan(m) for m in ms]
+    tp_max = max(t.num_tiles for t in tps)
+    tps = [_pad_tp(t, tp_max) for t in tps]
+    return dataclasses.replace(
+        tps[0],
+        col_blk=jnp.stack([t.col_blk for t in tps]),
+        row_ptr=jnp.stack([t.row_ptr for t in tps]),
+        row_of=jnp.stack([t.row_of for t in tps]),
+        perm=jnp.stack([t.perm for t in tps]),
+        keep=jnp.stack([t.keep for t in tps]),
+    )
+
+
 def build_halo_bcsr_overlap(
-    plan: HaloPlan, n_dev: int, block: int = 128, tile_dtype=None
+    plan: HaloPlan, n_dev: int, block: int = 128, tile_dtype=None,
+    att: bool = False,
 ) -> HaloBCSROverlapPlan:
     """Pack each device's SPLIT edge sets (:func:`split_halo_plan`) into
     a square local BCSR + a rectangular halo BCSR (plus transposes), so
-    the local Pallas SpMM overlaps the boundary exchange."""
+    the local Pallas SpMM overlaps the boundary exchange.
+
+    ``att=True`` additionally stacks each split's :class:`BCSRTranspose`
+    plan so GAT attention runs at kernel speed on the overlapped path
+    (tile-support SDDMM per split; VERDICT r4 item 7)."""
     from tpugraph.ops.bcsr import bcsr_from_coo
 
     sp = split_halo_plan(plan, n_dev)
@@ -541,6 +551,13 @@ def build_halo_bcsr_overlap(
         mht.append(bcsr_from_coo(rh[d], hs[d], wh[d], n_halo_col,
                                  block=block, num_col_nodes=ns,
                                  tile_dtype=tile_dtype))
+    if att:
+        # transpose plans index into the STACKED (tile-padded) BCSRs, so
+        # pad each list to its max tile count before planning
+        from tpugraph.ops.bcsr import bcsr_pad_tiles
+
+        ml = [bcsr_pad_tiles(m, max(x.num_tiles for x in ml)) for m in ml]
+        mh = [bcsr_pad_tiles(m, max(x.num_tiles for x in mh)) for m in mh]
     return HaloBCSROverlapPlan(
         send_idx=plan.send_idx,
         m_loc=_stack_bcsrs(ml),
@@ -549,6 +566,8 @@ def build_halo_bcsr_overlap(
         m_halo_t=_stack_bcsrs(mht),
         shard_size=ns,
         halo_size=h,
+        tp_loc=_stack_tps(ml) if att else None,
+        tp_halo=_stack_tps(mh) if att else None,
     )
 
 
@@ -690,45 +709,48 @@ def make_halo_bcsr_overlap_train_step(
     at kernel speed WITH exchange/compute overlap (VERDICT r3 item 2).
     Pass a :class:`HaloBCSROverlapPlan`."""
 
-    def build(arrs):
-        from tpugraph.nn.layers import HaloBCSROverlapAdj
-
-        si, ml, mlt, mh, mht = arrs
-        return HaloBCSROverlapAdj(
-            si[0], _bcsr_slice0(ml), _bcsr_slice0(mlt),
-            _bcsr_slice0(mh), _bcsr_slice0(mht), axis,
-        )
-
     sharded = _make_halo_step_generic(model, tx, mesh, axis, class_weight,
-                                      build)
+                                      partial(_overlap_adj_from_arrs,
+                                              axis=axis))
 
     def step(params, opt_state, plan: HaloBCSROverlapPlan, x, y,
              train_mask):
-        arrs = (plan.send_idx, plan.m_loc, plan.m_loc_t, plan.m_halo,
-                plan.m_halo_t)
-        return sharded(params, opt_state, arrs, x, y, train_mask)
+        return sharded(params, opt_state, _overlap_plan_arrs(plan), x, y,
+                       train_mask)
 
     return jax.jit(step)
+
+
+def _overlap_plan_arrs(plan: HaloBCSROverlapPlan):
+    arrs = (plan.send_idx, plan.m_loc, plan.m_loc_t, plan.m_halo,
+            plan.m_halo_t)
+    if plan.tp_loc is not None:
+        arrs = arrs + (plan.tp_loc, plan.tp_halo)
+    return arrs
+
+
+def _overlap_adj_from_arrs(arrs, axis: str):
+    from tpugraph.nn.layers import HaloBCSROverlapAdj
+
+    si, ml, mlt, mh, mht = arrs[:5]
+    tpl = _tp_slice0(arrs[5]) if len(arrs) > 5 else None
+    tph = _tp_slice0(arrs[6]) if len(arrs) > 6 else None
+    return HaloBCSROverlapAdj(
+        si[0], _bcsr_slice0(ml), _bcsr_slice0(mlt),
+        _bcsr_slice0(mh), _bcsr_slice0(mht),
+        tp_loc=tpl, tp_halo=tph, axis=axis,
+    )
 
 
 def make_halo_bcsr_overlap_forward(model, mesh: Mesh, axis: str = "data"):
     """Node-sharded forward on the overlapped BCSR-halo path."""
 
-    def build(arrs):
-        from tpugraph.nn.layers import HaloBCSROverlapAdj
-
-        si, ml, mlt, mh, mht = arrs
-        return HaloBCSROverlapAdj(
-            si[0], _bcsr_slice0(ml), _bcsr_slice0(mlt),
-            _bcsr_slice0(mh), _bcsr_slice0(mht), axis,
-        )
-
-    sharded = _make_halo_fwd_generic(model, mesh, axis, build)
+    sharded = _make_halo_fwd_generic(model, mesh, axis,
+                                     partial(_overlap_adj_from_arrs,
+                                             axis=axis))
 
     def fwd(params, plan: HaloBCSROverlapPlan, x):
-        arrs = (plan.send_idx, plan.m_loc, plan.m_loc_t, plan.m_halo,
-                plan.m_halo_t)
-        return sharded(params, arrs, x)
+        return sharded(params, _overlap_plan_arrs(plan), x)
 
     return jax.jit(fwd)
 
@@ -925,6 +947,101 @@ def make_halo_node_forward(model, mesh: Mesh, axis: str = "data"):
                        plan.receivers_local, plan.weights, x)
 
     return jax.jit(fwd)
+
+
+def resolve_halo_overlap(overlap: str, mesh: Mesh) -> bool:
+    """Overlap policy for the halo paths (VERDICT r4 item 4).
+
+    ``"on"``/``"off"`` force; ``"auto"`` = overlap only on REAL
+    multi-device hardware.  Rationale (measured, halo_scaling_r4.json):
+    the split step's benefit is latency hiding — the boundary
+    ``all_to_all`` has no data dependence on the local aggregation, so on
+    real chips it rides ICI while the MXU works.  On a single device
+    there is nothing to hide, and on the virtual CPU proxy the
+    time-shared devices serialize everything, so the split's extra
+    bookkeeping costs ~14% wall-clock with zero benefit — plain wins
+    there (0.99 vs 0.95 banded efficiency).
+    """
+    if overlap == "on":
+        return True
+    if overlap == "off":
+        return False
+    if overlap != "auto":
+        raise ValueError(f"overlap must be 'auto'/'on'/'off', got {overlap!r}")
+    devs = mesh.devices.ravel()
+    return len(devs) > 1 and devs[0].platform != "cpu"
+
+
+def build_halo(
+    g: Graph,
+    mesh: Mesh,
+    *,
+    bcsr: bool = True,
+    block: int = 128,
+    overlap: str = "auto",
+    att: bool = False,
+    tile_dtype=None,
+    axis: str = "data",
+):
+    """One-stop halo plan builder: :func:`build_halo_plan` plus the
+    variant the overlap policy picks (plain vs split, COO vs BCSR).  The
+    returned plan's TYPE routes :func:`make_halo_train_step` /
+    :func:`make_halo_forward` to the matching kernel, so callers no
+    longer choose between four ``make_halo_*`` factories blind
+    (VERDICT r4 item 4).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in
+                         ((axis,) if isinstance(axis, str) else axis)]))
+    plan = build_halo_plan(g, n_dev)
+    ov = resolve_halo_overlap(overlap, mesh)
+    if bcsr:
+        if ov:
+            return build_halo_bcsr_overlap(plan, n_dev, block=block,
+                                           tile_dtype=tile_dtype, att=att)
+        return build_halo_bcsr(plan, n_dev, block=block,
+                               tile_dtype=tile_dtype, att=att)
+    return split_halo_plan(plan, n_dev) if ov else plan
+
+
+def make_halo_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    plan,
+    axis: str = "data",
+    class_weight: Optional[jax.Array] = None,
+):
+    """Single entry point for node-partitioned halo training: dispatches
+    on the plan type produced by :func:`build_halo` (or any of the
+    explicit builders).  Returns ``step(params, opt_state, plan, x, y,
+    train_mask) -> (params, opt_state, loss)``."""
+    if isinstance(plan, HaloBCSROverlapPlan):
+        return make_halo_bcsr_overlap_train_step(model, tx, mesh, axis,
+                                                 class_weight)
+    if isinstance(plan, HaloBCSRPlan):
+        return make_halo_bcsr_train_step(model, tx, mesh, axis,
+                                         class_weight)
+    if isinstance(plan, HaloOverlapPlan):
+        return make_halo_overlap_train_step(model, tx, mesh, axis,
+                                            class_weight)
+    if isinstance(plan, HaloPlan):
+        return make_halo_node_train_step(model, tx, mesh, axis,
+                                         class_weight)
+    raise TypeError(f"not a halo plan: {type(plan).__name__}")
+
+
+def make_halo_forward(model, mesh: Mesh, plan, axis: str = "data"):
+    """Single entry point for the node-sharded halo forward (companion
+    to :func:`make_halo_train_step`)."""
+    if isinstance(plan, HaloBCSROverlapPlan):
+        return make_halo_bcsr_overlap_forward(model, mesh, axis)
+    if isinstance(plan, HaloBCSRPlan):
+        return make_halo_bcsr_forward(model, mesh, axis)
+    if isinstance(plan, HaloOverlapPlan):
+        return make_halo_overlap_forward(model, mesh, axis)
+    if isinstance(plan, HaloPlan):
+        return make_halo_node_forward(model, mesh, axis)
+    raise TypeError(f"not a halo plan: {type(plan).__name__}")
 
 
 def make_sharded_node_train_step(

@@ -64,6 +64,10 @@ class TrainConfig:
                             # pack latency dominates, BENCH_r03), or
                             # "auto" = total-time cost model using
                             # num_epochs and the measured v5e rates
+                            # (TPUGRAPH_RATES env overrides — see
+                            # resolve_bcsr_format).  Precedence: an
+                            # attention model or bcsr_resident="on"
+                            # forces "tiles" regardless of this field.
     bcsr_resident: str = "auto"  # VMEM-resident stacked kernel
                             # (ops/pallas_resident): "auto" = use when
                             # x+out fit VMEM (the low-locality fast
@@ -89,21 +93,50 @@ def _opt_config(cfg: TrainConfig, weight_decay: Optional[float] = None) -> Optim
     )
 
 
-# Measured v5e rates for the pack-latency-aware format rule
-# (BENCH_r03/r04; fwd+bwd SpMM pairs on the 65k/2.1M powerlaw bench):
-_RES_EDGES_PER_S = 9.4e8       # resident-stacked kernel steady state
-_PKT_EDGES_PER_S = 2.26e8      # edge-packet kernel steady state
-_RES_PACK_S_PER_TILE = 0.92e-3  # int8 emit + stack + upload, per 256^2
-                                # tile (19.0 s / 20736 tiles measured
-                                # r4, bench_tunnel_diag — the r3 72 s
-                                # figure was stale)
-_PKT_PACK_S_PER_EDGE = 1.2e-6  # no tile materialization
+# Rates for the pack-latency-aware format rule.  SCOPE: measured on THIS
+# container's TPU v5e (BENCH_r03/r04 fwd+bwd SpMM pairs on the 65k/2.1M
+# powerlaw bench; pack rate from bench_tunnel_diag r4, 19.0 s / 20736
+# 256^2 tiles).  On another TPU generation the auto rule still picks a
+# WORKING path, just possibly not the fastest one — override with
+#   TPUGRAPH_RATES="res_edges_per_s=1.2e9,pkt_edges_per_s=3e8,
+#                   res_pack_s_per_tile=5e-4,pkt_pack_s_per_edge=1e-6"
+# (any subset of keys), or pin cfg.bcsr_format explicitly.
+_RATE_DEFAULTS = {
+    "res_edges_per_s": 9.4e8,        # resident-stacked kernel steady state
+    "pkt_edges_per_s": 2.26e8,       # edge-packet kernel steady state
+    "res_pack_s_per_tile": 0.92e-3,  # int8 emit + stack + upload, per
+                                     # 256^2 tile (the r3 72 s figure was
+                                     # stale)
+    "pkt_pack_s_per_edge": 1.2e-6,   # no tile materialization
+}
 _SPMM_PAIRS_PER_EPOCH = 3      # 3-layer encoder: one pair per layer
+
+
+def _format_rates() -> Dict[str, float]:
+    """The v5e-measured defaults, overridden by ``TPUGRAPH_RATES``
+    (comma-separated ``key=value`` pairs; unknown keys raise so typos
+    don't silently fall back to defaults)."""
+    import os
+
+    out = dict(_RATE_DEFAULTS)
+    for part in os.environ.get("TPUGRAPH_RATES", "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in out:
+            raise ValueError(
+                f"TPUGRAPH_RATES: unknown key {k!r} "
+                f"(valid: {sorted(out)})"
+            )
+        out[k] = float(v)
+    return out
 
 
 def resolve_bcsr_format(cfg: "TrainConfig", n_live: int, t_probe: int,
                         density: float, low_locality: bool,
-                        on_tpu: bool) -> str:
+                        on_tpu: bool, att: bool = False) -> str:
     """Pick the low-locality tile format by TOTAL time (pack + train).
 
     The edge-packet kernel is ~4x slower steady-state than the resident
@@ -113,18 +146,42 @@ def resolve_bcsr_format(cfg: "TrainConfig", n_live: int, t_probe: int,
     crossover at the bench scale (2.1M edges, 21k tiles) is ~2,500
     epochs.  Only low-locality graphs (density < 3e-3) are candidates —
     dense-tile graphs stream tiles at full HBM rate and never benefit.
+
+    Precedence (advisor r4): an attention model forces ``"tiles"``
+    (PacketAdj has no per-edge score gradients and would raise at trace
+    time), and ``cfg.bcsr_resident == "on"`` forces ``"tiles"`` (an
+    explicitly requested resident path must not be silently overridden).
+    Rate constants are v5e-measured; see ``_RATE_DEFAULTS`` for the
+    ``TPUGRAPH_RATES`` override.
     """
+    if att or cfg.bcsr_resident == "on":
+        return "tiles"
     fmt = cfg.bcsr_format
     if fmt != "auto":
         return fmt
     if not (on_tpu and low_locality and density < 3e-3):
         return "tiles"
+    r = _format_rates()
     pairs = _SPMM_PAIRS_PER_EPOCH * cfg.num_epochs
-    est_tiles = (_RES_PACK_S_PER_TILE * t_probe
-                 + pairs * n_live / _RES_EDGES_PER_S)
-    est_pkt = (_PKT_PACK_S_PER_EDGE * n_live
-               + pairs * n_live / _PKT_EDGES_PER_S)
-    return "packets" if est_pkt < est_tiles else "tiles"
+    # pack cost is ~per-byte, so the per-256^2-tile rate scales with the
+    # configured block area (advisor r4: t_probe is counted at
+    # cfg.bcsr_block, where the same graph has ~ (256/block)^2 more,
+    # proportionally cheaper tiles)
+    pack_s_per_tile = (r["res_pack_s_per_tile"]
+                       * (cfg.bcsr_block / 256.0) ** 2)
+    est_tiles = (pack_s_per_tile * t_probe
+                 + pairs * n_live / r["res_edges_per_s"])
+    est_pkt = (r["pkt_pack_s_per_edge"] * n_live
+               + pairs * n_live / r["pkt_edges_per_s"])
+    fmt = "packets" if est_pkt < est_tiles else "tiles"
+    print(
+        f"tpugraph: bcsr_format auto -> {fmt} "
+        f"(est total tiles {est_tiles:.1f}s vs packets {est_pkt:.1f}s "
+        f"for {cfg.num_epochs} epochs; v5e-measured rates, "
+        f"TPUGRAPH_RATES overrides)",
+        flush=True,
+    )
+    return fmt
 
 
 # Process-level caches for the jitted epoch-chunk runner and the eval
@@ -137,13 +194,24 @@ def resolve_bcsr_format(cfg: "TrainConfig", n_live: int, t_probe: int,
 # pytree structures (SparseAdj / BCSRAdj / StackedAdj / PacketAdj).
 _CHUNK_CACHE: Dict[Any, Any] = {}
 _APPLY_CACHE: Dict[Any, Any] = {}
+# Both caches are small LRUs (advisor r4): long-lived processes sweeping
+# model configs (benchmark drivers, notebooks) would otherwise
+# accumulate compiled executables + optimizer objects for the process
+# lifetime.  Insertion order doubles as recency (dicts are ordered).
+_CACHE_MAX = 16
+
+
+def _cache_put(cache: Dict[Any, Any], key: Any, value: Any) -> None:
+    cache[key] = value
+    while len(cache) > _CACHE_MAX:
+        cache.pop(next(iter(cache)))
 
 
 def _eval_forward(model):
     fn = _APPLY_CACHE.get(model)
     if fn is None:
         fn = jax.jit(model.apply)
-        _APPLY_CACHE[model] = fn
+        _cache_put(_APPLY_CACHE, model, fn)
     return fn
 
 
@@ -194,7 +262,7 @@ def _chunk_runner(model, ocfg: OptimizerConfig, has_dropout: bool):
 
         return jax.lax.scan(epoch_step, (p, s, key), None, length=length)
 
-    _CHUNK_CACHE[key] = (run_chunk, tx)
+    _cache_put(_CHUNK_CACHE, key, (run_chunk, tx))
     return run_chunk, tx
 
 
@@ -302,14 +370,25 @@ def train_node_classifier(
             t_probe, density, low_locality = 1, 1.0, False
 
         fmt = resolve_bcsr_format(cfg, n_live, t_probe, density,
-                                  low_locality, on_tpu)
+                                  low_locality, on_tpu,
+                                  att=bool(getattr(model, "att", False)))
+        # int8 tiles need exactly-integer weights; otherwise the resident
+        # path quantizes to bf16 tiles — whose streamed window is 2x the
+        # int8 one, so the VMEM gate must use the ACTUAL tile itemsize
+        # (advisor r4: a hard-coded itemsize 1 underestimated the window
+        # in exactly the bf16 case).
+        integral = bool(
+            np.all(w_np == np.rint(w_np))
+            and np.abs(w_np).max(initial=0) <= 127
+        )
+        tile_itemsize = 1 if integral else 2
         want_res = fmt == "tiles" and (
             cfg.bcsr_resident == "on"
             or (cfg.bcsr_resident == "auto" and on_tpu and low_locality
                 and resident_fits(
                     n_pad_blk, n_pad_blk, d_est, 4,
                     tile_window_bytes=tile_window_bytes_for(
-                        64, 1, cfg.bcsr_block, 1
+                        64, 1, cfg.bcsr_block, tile_itemsize
                     ),
                 ))
         )
@@ -331,9 +410,7 @@ def train_node_classifier(
             # VMEM-resident stacked path: int8 tiles when the weights are
             # exactly integer (unit adjacencies; rank-1 degree
             # normalizations factor into x/y scalings), bf16 otherwise
-            integral = bool(
-                np.all(w_np == np.rint(w_np)) and np.abs(w_np).max(initial=0) <= 127
-            )
+            # (`integral` computed above, where the VMEM gate needed it)
             tdt = jnp.int8 if integral else jnp.bfloat16
             if not integral:
                 print(
