@@ -152,3 +152,98 @@ def test_halo_plan_native_matches_python(rng):
         np.testing.assert_array_equal(
             np.asarray(getattr(plan_native, fld)),
             np.asarray(getattr(plan_py, fld)), err_msg=fld)
+
+
+def _two_community_graph(rng, n=400, intra=2400, inter=60):
+    """Two equal communities with shuffled node ids, dense inside and
+    sparse across — the partitioning testbed."""
+    comm = np.zeros(n, np.int32)
+    comm[n // 2:] = 1
+    comm = comm[rng.permutation(n)]
+    es, er = [], []
+    for c in (0, 1):
+        members = np.flatnonzero(comm == c)
+        u = rng.choice(members, intra)
+        v = rng.choice(members, intra)
+        keep = u != v
+        es.append(u[keep]); er.append(v[keep])
+    u = rng.choice(np.flatnonzero(comm == 0), inter)
+    v = rng.choice(np.flatnonzero(comm == 1), inter)
+    es.append(u); er.append(v)
+    s = np.concatenate(es + er).astype(np.int32)
+    r = np.concatenate(er + es).astype(np.int32)
+    w = np.ones(len(s), np.float32)
+    return s, r, w, comm
+
+
+def test_label_prop_partition_recovers_communities(rng):
+    """Balanced label propagation recovers a planted 2-community split
+    from a scattered balanced seed, cutting halo rows by >5x vs the
+    degree-snake partition (VERDICT r4 item 1b)."""
+    from tpugraph.parallel.spmd import balance_partition
+
+    n = 400
+    s, r, w, comm = _two_community_graph(rng, n)
+    _, inv = balance_partition(r, n, 2, weights=w)
+    snake = (inv[:n] // (len(inv) // 2)).astype(np.int32)
+    cut_snake, recv_snake = native.partition_cut_stats(s, r, w, n, 2, snake)
+
+    assign, moves = native.label_prop_partition(s, r, w, n, 2, snake,
+                                                iters=30, slack=1.05)
+    cut_lp, recv_lp = native.partition_cut_stats(s, r, w, n, 2, assign)
+    assert moves > 0
+    # balanced within slack
+    sizes = np.bincount(assign, minlength=2)
+    assert sizes.max() <= int(n / 2 * 1.05) + 1
+    # recovers the planted structure: cut collapses to ~the planted
+    # inter-community edges
+    assert cut_lp < cut_snake / 5, (cut_lp, cut_snake)
+    agree = max((assign == comm).mean(), (assign != comm).mean())
+    assert agree > 0.95, agree
+
+
+def test_label_prop_partition_numpy_fallback(rng, monkeypatch):
+    """The NumPy fallback reaches the same community structure (not
+    necessarily identical assignments — different sweep schedule)."""
+    n = 400
+    s, r, w, comm = _two_community_graph(rng, n)
+    seed = (rng.permutation(n) // (n // 2)).astype(np.int32)
+
+    a_native, _ = native.label_prop_partition(s, r, w, n, 2, seed,
+                                              iters=30, slack=1.05)
+    monkeypatch.setattr(native, "_lib", False)
+    assert not native.native_available()
+    a_np, moves_np = native.label_prop_partition(s, r, w, n, 2, seed,
+                                                 iters=30, slack=1.05)
+    cut_np, _ = native.partition_cut_stats(s, r, w, n, 2, a_np)
+    cut_nat, _ = native.partition_cut_stats(s, r, w, n, 2, a_native)
+    assert moves_np > 0
+    live = int((w != 0).sum())
+    assert cut_np < live * 0.2, cut_np
+    assert cut_nat < live * 0.2, cut_nat
+    # cut stats fallback agrees with native on the same assignment
+    monkeypatch.undo()
+    cut_ref, recv_ref = native.partition_cut_stats(s, r, w, n, 2, a_np)
+    monkeypatch.setattr(native, "_lib", False)
+    cut_fb, recv_fb = native.partition_cut_stats(s, r, w, n, 2, a_np)
+    assert cut_ref == cut_fb
+    np.testing.assert_array_equal(recv_ref, recv_fb)
+
+
+def test_locality_partition_perm_contract(rng):
+    """locality_partition returns a valid permutation: perm/inv inverse
+    pairs, contiguous shards hold each partition, pad ids are edge-free."""
+    from tpugraph.parallel.spmd import locality_partition
+
+    n = 400
+    s, r, w, comm = _two_community_graph(rng, n)
+    perm, inv = locality_partition(s, r, n, 4, weights=w)
+    n_pad = len(perm)
+    assert n_pad % 4 == 0
+    np.testing.assert_array_equal(perm[inv], np.arange(n_pad))
+    np.testing.assert_array_equal(np.sort(perm), np.arange(n_pad))
+    # relabeled edges stay in range and preserve adjacency
+    s2, r2 = inv[s], inv[r]
+    assert s2.max() < n_pad and r2.max() < n_pad
+    # pad slots (perm >= n) have no edges
+    assert np.all(perm[np.unique(np.concatenate([s2, r2]))] < n)

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <numeric>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -427,6 +428,115 @@ void rcm_order(const int32_t* indptr, const int32_t* indices, int32_t n,
     }
     std::reverse(order.begin(), order.end());
     std::memcpy(perm_out, order.data(), sizeof(int32_t) * n);
+}
+
+// ------------------------------------------------ locality-aware partitioning
+//
+// Balanced label propagation (Spinner-style): start from a balanced seed
+// assignment and iteratively move each node to the partition holding the
+// majority of its neighbors, under per-partition capacity caps on BOTH
+// node count and in-edge mass.  This greedily minimizes exactly the
+// objective that sets halo traffic in the node-partitioned SPMD paths:
+// the number of cut edges (every cut edge makes its sender a boundary
+// node some device must receive).  Reference analog: none (the reference
+// is dense single-device, train.py:180-186); this is SURVEY §7's
+// "partition edges to minimize boundary nodes" hard part.
+//
+// s/r/w: directed COO edges (w==0 = padding, skipped).  assign[n] carries
+// the seed partition ids in and the refined result out.  Asynchronous
+// updates in a fixed LCG-scrambled node order (deterministic).  Returns
+// the total number of moves applied.
+int64_t label_prop_partition(const int32_t* s, const int32_t* r,
+                             const float* w, int64_t e, int32_t n,
+                             int32_t n_dev, int32_t iters, float slack,
+                             int32_t* assign) {
+    // undirected CSR (both edge directions): locality counts an edge
+    // whichever way it points
+    std::vector<int64_t> indptr((size_t)n + 1, 0);
+    std::vector<double> inmass(n, 0.0);
+    int64_t live = 0;
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        indptr[(size_t)s[i] + 1]++;
+        indptr[(size_t)r[i] + 1]++;
+        inmass[r[i]] += 1.0;
+        live++;
+    }
+    for (int32_t i = 0; i < n; ++i) indptr[(size_t)i + 1] += indptr[i];
+    std::vector<int32_t> adj((size_t)2 * live);
+    {
+        std::vector<int64_t> cur(indptr.begin(), indptr.end() - 1);
+        for (int64_t i = 0; i < e; ++i) {
+            if (w[i] == 0.0f) continue;
+            adj[(size_t)cur[s[i]]++] = r[i];
+            adj[(size_t)cur[r[i]]++] = s[i];
+        }
+    }
+
+    const int64_t cap_nodes =
+        (int64_t)((double)n / n_dev * slack) + 1;
+    const double cap_mass = (double)live / n_dev * slack + 1.0;
+    std::vector<int64_t> part_nodes(n_dev, 0);
+    std::vector<double> part_mass(n_dev, 0.0);
+    for (int32_t i = 0; i < n; ++i) {
+        part_nodes[assign[i]]++;
+        part_mass[assign[i]] += inmass[i];
+    }
+
+    // deterministic scrambled visit order: odd stride coprime with n
+    int64_t stride = ((int64_t)n * 2) / 3;
+    stride |= 1;
+    while (std::gcd(stride, (int64_t)n) != 1) stride += 2;
+
+    std::vector<int32_t> cnt(n_dev);
+    int64_t moves_total = 0;
+    for (int32_t it = 0; it < iters; ++it) {
+        int64_t moves = 0;
+        for (int64_t k = 0; k < n; ++k) {
+            int32_t u = (int32_t)((k * stride + it) % n);
+            int64_t b = indptr[u], q = indptr[(size_t)u + 1];
+            if (q == b) continue;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t p = b; p < q; ++p) cnt[assign[adj[p]]]++;
+            int32_t cur = assign[u], best = cur;
+            for (int32_t d = 0; d < n_dev; ++d)
+                if (cnt[d] > cnt[best]) best = d;
+            if (best == cur || cnt[best] == cnt[cur]) continue;
+            if (part_nodes[best] + 1 > cap_nodes) continue;
+            if (part_mass[best] + inmass[u] > cap_mass) continue;
+            part_nodes[cur]--;
+            part_nodes[best]++;
+            part_mass[cur] -= inmass[u];
+            part_mass[best] += inmass[u];
+            assign[u] = best;
+            moves++;
+        }
+        moves_total += moves;
+        if (moves == 0) break;
+    }
+    return moves_total;
+}
+
+// Cut statistics for a partition assignment: cut edges and, per device,
+// the number of DISTINCT remote senders its edges reference (= halo rows
+// it must receive — the quantity the halo plan pads to the max of).
+void partition_cut_stats(const int32_t* s, const int32_t* r, const float* w,
+                         int64_t e, int32_t n, int32_t n_dev,
+                         const int32_t* assign,
+                         int64_t* cut_out, int64_t* recv_rows_out) {
+    std::vector<std::unordered_set<int32_t>> needed((size_t)n_dev);
+    int64_t cut = 0;
+    for (int64_t i = 0; i < e; ++i) {
+        if (w[i] == 0.0f) continue;
+        int32_t d = assign[r[i]], o = assign[s[i]];
+        if (o != d) {
+            cut++;
+            needed[d].insert(s[i]);
+        }
+    }
+    *cut_out = cut;
+    for (int32_t d = 0; d < n_dev; ++d)
+        recv_rows_out[d] = (int64_t)needed[d].size();
 }
 
 // ------------------------------------------------------- degree + normalize

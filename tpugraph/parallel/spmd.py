@@ -227,6 +227,69 @@ def balance_partition(
     return perm, inv
 
 
+def locality_partition(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    n_dev: int,
+    weights: Optional[np.ndarray] = None,
+    iters: int = 20,
+    slack: float = 1.02,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Locality-aware node relabeling for contiguous partitioning:
+    degree-snake seed (balanced) refined by balanced label propagation
+    (``native.label_prop_partition`` — greedy min-cut under node-count
+    and in-edge-mass caps).  Where :func:`balance_partition` deliberately
+    scatters node ids (maximal locality destruction), this pulls
+    neighbor clusters onto the same shard, cutting the halo rows each
+    device must receive — on community-structured graphs by an order of
+    magnitude; on locality-free random graphs (Chung-Lu) it measurably
+    cannot (see ``bench_partition_ceiling.py``), which is the evidence
+    that the residual halo volume there is topology, not partitioning.
+
+    Returns ``(perm, inv)`` with ``perm[new_id] = old_id``, both of
+    length ``n_pad = ns * n_dev`` where ``ns`` is the (8-aligned) max
+    partition size — may exceed ``ceil(N / n_dev) * n_dev`` by the
+    ``slack``.  Relabel edges as ``inv[senders]``/``inv[receivers]`` and
+    node payloads as ``payload_padded[perm]`` before
+    :func:`build_halo_plan`.  Reference analog: none (dense
+    single-device, reference ``train.py:180-186``).
+    """
+    from tpugraph import native
+
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    w = (np.asarray(weights, np.float32) if weights is not None
+         else np.ones(len(s), np.float32))
+
+    # balanced seed: degree-snake shard assignment
+    perm0, inv0 = balance_partition(r, num_nodes, n_dev, weights=w)
+    ns0 = len(perm0) // n_dev
+    seed_assign = (inv0[:num_nodes] // ns0).astype(np.int32)
+
+    assign, _ = native.label_prop_partition(
+        s, r, w, num_nodes, n_dev, seed_assign, iters=iters, slack=slack
+    )
+
+    sizes = np.bincount(assign, minlength=n_dev)
+    ns = max(int(sizes.max()), (num_nodes + n_dev - 1) // n_dev)
+    ns = ((ns + 7) // 8) * 8
+    n_pad = ns * n_dev
+    perm = np.empty(n_pad, np.int64)
+    next_pad = num_nodes  # virtual (edge-free) old ids fill shard tails
+    for d in range(n_dev):
+        ids = np.flatnonzero(assign == d)
+        perm[d * ns : d * ns + len(ids)] = ids
+        n_fill = ns - len(ids)
+        perm[d * ns + len(ids) : (d + 1) * ns] = np.arange(
+            next_pad, next_pad + n_fill
+        )
+        next_pad += n_fill
+    inv = np.empty(n_pad, np.int64)
+    inv[perm] = np.arange(n_pad)
+    return perm, inv
+
+
 def build_halo_plan(g: Graph, n_dev: int) -> HaloPlan:
     """Precompute the boundary exchange: which of my nodes each peer
     needs, and how each of my edges finds its sender (locally or in the
