@@ -293,7 +293,11 @@ def main_halo() -> None:
                  "powerlaw case — topology-independent overhead, at the "
                  "cost of replicated x). Virtual CPU devices time-share "
                  "the host: this isolates partition + collective "
-                 "overhead, not ICI"),
+                 "overhead, not ICI. CAVEAT: the three variants run in "
+                 "separate phases minutes apart and host-load drift "
+                 "exceeds their differences — for the snake-vs-labelprop "
+                 "comparison use the interleaved bench_halo_ab.py "
+                 "artifact, not cross-phase ratios here"),
     }))
 
 

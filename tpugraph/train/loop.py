@@ -521,6 +521,166 @@ def train_node_classifier(
     }
 
 
+def train_node_classifier_halo(
+    model,
+    g: Graph,
+    feat: np.ndarray,
+    labels: np.ndarray,
+    cfg: TrainConfig,
+    n_dev: int,
+    axis="data",
+    overlap: str = "auto",
+    partition: str = "locality",
+    class_weight: Optional[np.ndarray] = None,
+    seed: int = 0,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> Dict[str, Any]:
+    """Node-partitioned full-batch training over a device mesh — the
+    CLI-reachable halo path (VERDICT r4 item 5; ``--halo N`` on the
+    train CLI).
+
+    Features, labels and masks stay node-sharded across all layers; each
+    GraphConv does one boundary-only ``all_to_all``
+    (:func:`tpugraph.nn.layers.halo_exchange`).  ``partition="locality"``
+    relabels nodes with the balanced label-propagation min-cut
+    partitioner first (``parallel.spmd.locality_partition``);
+    ``overlap`` follows :func:`tpugraph.parallel.spmd.resolve_halo_overlap`
+    ("auto" = overlap only on real multi-device hardware).  With
+    ``cfg.use_bcsr`` the per-shard aggregation runs on the Pallas BCSR
+    kernel.  Dropout is not supported on this path (the sharded step
+    carries no rng); the reference default is dropout=0.
+
+    Returns the same dict as :func:`train_node_classifier` (params,
+    ypred over ORIGINAL node ids, split indices, history, metrics).
+    """
+    from tpugraph.core.graph import graph_from_edges
+    from tpugraph.parallel.mesh import make_mesh
+    from tpugraph.parallel.spmd import (
+        build_halo,
+        locality_partition,
+        make_halo_forward,
+        make_halo_train_step,
+    )
+
+    if getattr(model, "dropout", 0.0) > 0.001:
+        raise NotImplementedError(
+            "halo training is deterministic (no dropout rng); set "
+            "dropout=0 or use the single-device path"
+        )
+    rng = np.random.default_rng(seed)
+    n_real = int(g.n_node)
+    old_n = g.num_nodes_padded
+    train_idx, test_idx = split_nodes(n_real, cfg.train_ratio, rng)
+
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    w = np.asarray(g.edge_weight)
+    live = w != 0
+    if partition == "locality":
+        perm, inv = locality_partition(
+            s[live], r[live], old_n, n_dev, weights=w[live]
+        )
+    elif partition == "none":
+        n_pad0 = ((old_n + n_dev - 1) // n_dev) * n_dev
+        perm = np.arange(n_pad0)
+        inv = perm
+    else:
+        raise ValueError(f"partition must be 'locality'/'none': {partition}")
+    n_pad = len(perm)
+    g2 = graph_from_edges(
+        inv[s[live]].astype(np.int32), inv[r[live]].astype(np.int32),
+        n_pad, edge_weight=w[live],
+    )
+    # graph_from_edges re-pads nodes; the partitioned graph is already
+    # ns*n_dev so no growth is expected
+    mesh = make_mesh(n_dev) if isinstance(axis, str) else make_mesh(
+        axis_names=axis, shape=(2, n_dev // 2))
+    plan = build_halo(
+        g2, mesh, bcsr=cfg.use_bcsr, block=cfg.bcsr_block,
+        overlap=overlap, axis=axis,
+        att=bool(getattr(model, "att", False)),
+    )
+    n_total = plan.shard_size * n_dev
+
+    def relabel(payload: np.ndarray, fill=0) -> np.ndarray:
+        out_shape = (n_total,) + payload.shape[1:]
+        padded = np.full(out_shape, fill, payload.dtype)
+        src = np.full((n_pad,) + payload.shape[1:], fill, payload.dtype)
+        src[: payload.shape[0]] = payload
+        padded[: n_pad] = src[perm]
+        return padded
+
+    labels_pad = np.zeros((old_n,), np.int32)
+    labels_pad[:n_real] = np.asarray(labels, np.int32)
+    tr_mask = np.zeros((old_n,), np.float32)
+    tr_mask[train_idx] = 1.0
+    te_mask = np.zeros((old_n,), np.float32)
+    te_mask[test_idx] = 1.0
+
+    x = jnp.asarray(relabel(np.asarray(feat, np.float32)))
+    y = jnp.asarray(relabel(labels_pad))
+    tr_m = jnp.asarray(relabel(tr_mask))
+    te_m = jnp.asarray(relabel(te_mask))
+    cw = (None if class_weight is None
+          else jnp.asarray(class_weight, jnp.float32))
+
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.asarray(feat, jnp.float32),
+        SparseAdj(g.senders, g.receivers, g.edge_weight),
+    )
+    tx = build_optimizer(_opt_config(cfg))
+    opt_state = tx.init(params)
+    step = make_halo_train_step(model, tx, mesh, plan, axis=axis,
+                                class_weight=cw)
+    fwd = make_halo_forward(model, mesh, plan, axis=axis)
+
+    history: Dict[str, List[float]] = {"loss": [], "train_acc": [],
+                                       "test_acc": []}
+    begin = time.time()
+
+    def accs():
+        logits = np.asarray(fwd(params, plan, x))
+        pred = logits.argmax(-1)
+        corr = (pred == np.asarray(y)).astype(np.float32)
+        trm, tem = np.asarray(tr_m), np.asarray(te_m)
+        return (float((corr * trm).sum() / max(trm.sum(), 1.0)),
+                float((corr * tem).sum() / max(tem.sum(), 1.0)))
+
+    for ep in range(cfg.num_epochs):
+        params, opt_state, loss = step(params, opt_state, plan, x, y,
+                                       tr_m)
+        history["loss"].append(float(loss))
+        if (ep + 1) % cfg.eval_every == 0 or ep + 1 == cfg.num_epochs:
+            tr_a, te_a = accs()
+            history["train_acc"].append(tr_a)
+            history["test_acc"].append(te_a)
+            if log_fn is not None:
+                log_fn(ep + 1, {"loss": history["loss"][-1],
+                                "train_acc": tr_a, "test_acc": te_a})
+    elapsed = time.time() - begin
+
+    # final forward, un-relabeled to ORIGINAL node ids for the cg bundle
+    logits_new = np.asarray(fwd(params, plan, x))
+    logits_old = logits_new[inv[:old_n]]
+    ypred = logits_old[None]  # [1, N_pad_old, C]
+    result_train, result_test = eval_node(
+        ypred[:, :n_real], np.asarray(labels)[None], train_idx, test_idx
+    )
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "ypred": ypred,
+        "train_idx": train_idx,
+        "test_idx": test_idx,
+        "history": history,
+        "result_train": result_train,
+        "result_test": result_test,
+        "elapsed": elapsed,
+        "n_dev": n_dev,
+        "halo_size": plan.halo_size,
+    }
+
+
 def train_graph_classifier(
     model,
     train_batcher,
