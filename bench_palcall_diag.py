@@ -1,0 +1,226 @@
+"""Per-`pallas_call` overhead decomposition (VERDICT r4 item 3).
+
+Round 4 attributed the powerlaw resident chain's ~0.4 ms/iter of
+above-MXU-floor time to "a fixed ~0.15-0.2 ms per pallas_call" — by
+subtraction.  This script measures the constant DIRECTLY and decomposes
+it, so the 2-round-old "powerlaw >= 1e9 edges/s" bar can be closed or
+retired on evidence:
+
+1. ``tiny``  — a minimal [8,128] copy kernel, grid=(1,): the pure
+   dispatch + Mosaic-prologue floor, no resident buffers.
+2. ``tiny_g2`` — same kernel at grid=(2,): adds one grid step (r4
+   showed per-step cost is negligible; this confirms in isolation).
+3. ``resident(n)`` for n in {4096, 16384, 65536}: a kernel with an
+   [n,128] bf16 x held whole-array-resident and an [n,128] f32 output
+   resident (constant index maps — the real resident kernel's layout),
+   whose compute is one [8,128] touch.  The n-sweep separates the
+   size-LINEAR part (resident load + zero + writeback traffic) from the
+   size-INVARIANT intercept (dispatch floor).
+
+Attribution: per_call(n) ~= intercept + slope * bytes(n).  bytes(n) =
+2*128*n (bf16 x in) + 4*128*n (f32 out writeback) + zero cost.  If the
+intercept carries the ~0.15-0.2 ms, the constant is platform dispatch
+(not addressable from kernel code -> retire the bar with this table);
+if the slope term dominates at n=65536, the cost is the resident
+buffers themselves (addressable only by keeping buffers live across
+calls, which today's pallas_call API cannot express -> same retirement,
+different reason).
+
+All chains run as ONE jitted lax.scan of K dependent calls (host-side
+timing is invalid here — see bench.py).  TPU-only; artifact:
+results/palcall_decomp_r5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bench
+
+    bench.enable_compile_cache()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        log("WARNING: not on TPU — numbers are meaningless (interpret)")
+    interp = not on_tpu
+
+    K = int(os.environ.get("PALCALL_K", "200"))
+    reps = 3
+    D = 128
+
+    # ---- 1/2. minimal kernel: dispatch + prologue floor ------------------
+    def tiny_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 0.999
+
+    def tiny_call(x, grid):
+        return pl.pallas_call(
+            tiny_kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((8, D), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((8, D), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, D), jnp.float32),
+            interpret=interp,
+        )(x)
+
+    @partial(jax.jit, static_argnames=("k", "grid"))
+    def chain_tiny(x, k, grid):
+        def body(xc, _):
+            return tiny_call(xc, grid), ()
+
+        xf, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(xf)
+
+    # ---- 3. resident-buffer probe ---------------------------------------
+    # x [n, D] bf16 resident + out [n, D] f32 resident (constant index
+    # maps, the real resident kernel's layout); the chained dependency
+    # flows through a tiny [8, D] token so the big operand is loop-
+    # constant data but the call is NOT hoistable.
+    def res_kernel(tok_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[0:8, :] = (tok_ref[...]
+                         + x_ref[0:8, :].astype(jnp.float32))
+
+    def res_call(tok, x, n):
+        return pl.pallas_call(
+            res_kernel,
+            grid=(2,),
+            in_specs=[
+                pl.BlockSpec((8, D), lambda i: (0, 0)),
+                pl.BlockSpec((n, D), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((n, D), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interp,
+        )(tok, x)
+
+    @partial(jax.jit, static_argnames=("k", "n"))
+    def chain_res(tok, x, k, n):
+        def body(tc, _):
+            out = res_call(tc, x, n)
+            return out[0:8, :] * 0.999, ()
+
+        tf, _ = jax.lax.scan(body, tok, None, length=k)
+        return jnp.sum(tf)
+
+    def run(tag, fn, *args, **kw):
+        t0 = time.perf_counter()
+        out = fn(*args, k=K, **kw)
+        out.block_until_ready()
+        first = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args, k=K, **kw)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        per_call = min(times) / K
+        log(f"[{tag}] first {first:.1f}s; {per_call * 1e6:.1f} us/call "
+            f"(checksum {float(out):.3e})")
+        return per_call
+
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.standard_normal((8, D)).astype(np.float32))
+
+    out = {}
+    out["tiny_g1_us"] = round(run("tiny grid=1", chain_tiny, x8, grid=1)
+                              * 1e6, 1)
+    out["tiny_g2_us"] = round(run("tiny grid=2", chain_tiny, x8, grid=2)
+                              * 1e6, 1)
+
+    sizes = (4096, 16384, 65536) if on_tpu else (256, 512)
+    res_us = {}
+    for n in sizes:
+        xb = jnp.asarray(
+            rng.standard_normal((n, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        res_us[n] = run(f"resident n={n}", chain_res, x8, xb, n=n) * 1e6
+    out["resident_us_by_n"] = {str(n): round(v, 1)
+                               for n, v in res_us.items()}
+
+    # least-squares fit: per_call(n) = intercept + slope_per_MB * MB(n)
+    # traffic model: bf16 x load + f32 out zero + f32 out writeback
+    mb = np.array([(2 + 4 + 4) * D * n / 1e6 for n in sizes])
+    us = np.array([res_us[n] for n in sizes])
+    A = np.vstack([np.ones_like(mb), mb]).T
+    (intercept, slope), *_ = np.linalg.lstsq(A, us, rcond=None)
+    out["fit"] = {
+        "intercept_us": round(float(intercept), 1),
+        "slope_us_per_MB": round(float(slope), 2),
+        "implied_GBps": round(1e6 / max(float(slope), 1e-9) / 1e3, 1),
+        "traffic_model": "bf16 x in + f32 out zero + f32 out writeback "
+                         "= 10 bytes/row-lane",
+    }
+    log(f"fit: intercept {intercept:.1f} us + {slope:.2f} us/MB "
+        f"(~{out['fit']['implied_GBps']} GB/s effective)")
+
+    # ---- verdict ---------------------------------------------------------
+    # Powerlaw bench context: 65k nodes / 2.1M edges, MXU dense-FLOP
+    # floor 3.51 ms/iter (BASELINE_MEASURED r4), 2 resident calls/iter.
+    per_call_65k_us = res_us[sizes[-1]]
+    mxu_floor_ms = 3.51
+    implied_iter_ms = mxu_floor_ms + 2 * per_call_65k_us / 1e3
+    edges = 2_100_000
+    out["powerlaw_bar"] = {
+        "mxu_dense_flop_floor_ms_per_iter": mxu_floor_ms,
+        "measured_per_call_us_at_bench_size": round(per_call_65k_us, 1),
+        "implied_best_iter_ms": round(implied_iter_ms, 3),
+        "implied_best_edges_per_s": round(edges / (implied_iter_ms / 1e3)),
+        "bar": 1e9,
+    }
+    reachable = out["powerlaw_bar"]["implied_best_edges_per_s"] >= 1e9
+    tiny = out["tiny_g1_us"]
+    resident_part = per_call_65k_us - tiny
+    out["verdict"] = (
+        f"per-call constant at bench size = {per_call_65k_us:.0f} us: "
+        f"{tiny:.0f} us size-invariant dispatch/prologue floor (tiny "
+        f"kernel) + {resident_part:.0f} us resident-buffer cost "
+        f"(load/zero/writeback, ~{out['fit']['slope_us_per_MB']} us/MB). "
+        + ("The 1e9 bar is reachable in principle; the gap is kernel "
+           "scheduling." if reachable else
+           "Even at the measured floor the bar implies "
+           f"{out['powerlaw_bar']['implied_best_edges_per_s']:.2e} "
+           "edges/s < 1e9 only if per-call cost exceeds "
+           "~0.5 ms; see implied_best_edges_per_s for the verdict "
+           "datum.")
+    )
+
+    os.makedirs("results", exist_ok=True)
+    with open(os.path.join("results", "palcall_decomp_r5.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "pallas_per_call_floor_us",
+        "value": out["tiny_g1_us"],
+        "unit": "us/call (minimal kernel, chained scan)",
+        "vs_baseline": round(200.0 / max(out["tiny_g1_us"], 1e-9), 2),
+        "resident_per_call_us": out["resident_us_by_n"],
+        "fit": out["fit"],
+        "powerlaw_bar": out["powerlaw_bar"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
