@@ -187,11 +187,16 @@ def main_halo() -> None:
         s, r, w = make_banded_graph(n_nodes, deg, 192, seed=7)
         return s, r, w, n_nodes
 
-    all_out = {}
+    # ---- setup ALL configs first, then interleave every config's timing
+    # reps round-robin: separate-phase measurement is worthless on the
+    # time-shared proxy (r5: the same config measured 0.58-0.84 across
+    # three sequential-phase runs), so each rep sweep times every config
+    # under ~the same host conditions and min-over-reps samples the same
+    # quiet windows for all of them.
+    configs = []
     for gname, mk in (("banded", banded),
                       ("powerlaw_balanced", powerlaw_balanced),
                       ("powerlaw_labelprop", powerlaw_labelprop)):
-      times, times_ov, balance, halo_bytes = {}, {}, {}, {}
       for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_dev)
         n_nodes = ns_per_dev * n_dev
@@ -203,11 +208,6 @@ def main_halo() -> None:
         # shard balance: live edges per device in the (max-padded) plan
         live = np.asarray(plan.weights) != 0
         per_shard = live.sum(axis=1)
-        balance[n_dev] = float(per_shard.max() / max(per_shard.mean(), 1))
-        # halo traffic: boundary features exchanged per layer, fwd+bwd
-        halo_bytes[n_dev] = int(
-            n_dev * n_dev * plan.halo_size * d_feat * 4 * num_layers * 2
-        )
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal(
             (n_total, d_feat)).astype(np.float32))
@@ -220,40 +220,58 @@ def main_halo() -> None:
             jax.random.PRNGKey(0), x,
             SparseAdj(g.senders, g.receivers, g.edge_weight))
         tx = optax.adam(1e-3)
-        opt = tx.init(params)
-        step = make_halo_node_train_step(model, tx, mesh)
-
-        # Overlapped split path (r4): local-local aggregation concurrent
-        # with the all_to_all, no [x | halo] concat.  Plain/overlap reps
-        # are INTERLEAVED back-to-back: host-load drift across a run of
-        # this bench is several times the effect size on the time-shared
-        # virtual mesh (r4: separate-phase runs measured the 8-dev
-        # overlap/plain ratio anywhere from 0.92x to 1.10x), so paired
-        # measurement is the only fair comparison here.
         oplan = split_halo_plan(plan, n_dev)
-        ostep = make_halo_overlap_train_step(model, tx, mesh)
-        po, oo = params, tx.init(params)
-        params, opt, loss = step(params, opt, plan, x, y, mask)
-        po, oo, loss_o = ostep(po, oo, oplan, x, y, mask)
-        jax.block_until_ready((loss, loss_o))
-        best, best_o = float("inf"), float("inf")
-        for _ in range(2 * reps):
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                params, opt, loss = step(params, opt, plan, x, y, mask)
-            jax.block_until_ready(loss)
-            best = min(best, (time.perf_counter() - t0) / steps)
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                po, oo, loss_o = ostep(po, oo, oplan, x, y, mask)
-            jax.block_until_ready(loss_o)
-            best_o = min(best_o, (time.perf_counter() - t0) / steps)
-        times[n_dev] = best
-        times_ov[n_dev] = best_o
-        log(f"halo {gname} {n_dev} dev: {len(s)} edges "
-            f"(balance {balance[n_dev]:.2f}, halo {plan.halo_size}/peer), "
-            f"{best * 1e3:.1f} ms/step; overlap {best_o * 1e3:.1f} ms/step")
+        configs.append({
+            "gname": gname, "n_dev": n_dev, "n_edges": len(s),
+            "balance": float(per_shard.max() / max(per_shard.mean(), 1)),
+            "halo_bytes": int(n_dev * n_dev * plan.halo_size * d_feat
+                              * 4 * num_layers * 2),
+            "halo_size": int(plan.halo_size),
+            "plain": [make_halo_node_train_step(model, tx, mesh),
+                      [params, tx.init(params)], plan],
+            "overlap": [make_halo_overlap_train_step(model, tx, mesh),
+                        [params, tx.init(params)], oplan],
+            "data": (x, y, mask),
+            "best": {"plain": float("inf"), "overlap": float("inf")},
+        })
 
+    for c in configs:  # compile everything before any timing
+        for path in ("plain", "overlap"):
+            step, st, pl_ = c[path]
+            x, y, mask = c["data"]
+            st[0], st[1], loss = step(st[0], st[1], pl_, x, y, mask)
+            jax.block_until_ready(loss)
+    log(f"{len(configs)} configs compiled; interleaving {2 * reps} rep "
+        f"sweeps x {steps} steps")
+
+    for rep in range(2 * reps):
+        order = configs if rep % 2 == 0 else configs[::-1]
+        for c in order:
+            x, y, mask = c["data"]
+            for path in ("plain", "overlap") if rep % 2 == 0 else (
+                    "overlap", "plain"):
+                step, st, pl_ = c[path]
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    st[0], st[1], loss = step(st[0], st[1], pl_, x, y,
+                                              mask)
+                jax.block_until_ready(loss)
+                c["best"][path] = min(
+                    c["best"][path], (time.perf_counter() - t0) / steps)
+        log(f"rep sweep {rep} done")
+
+    all_out = {}
+    for gname in ("banded", "powerlaw_balanced", "powerlaw_labelprop"):
+      cs = {c["n_dev"]: c for c in configs if c["gname"] == gname}
+      times = {n: cs[n]["best"]["plain"] for n in cs}
+      times_ov = {n: cs[n]["best"]["overlap"] for n in cs}
+      balance = {n: cs[n]["balance"] for n in cs}
+      halo_bytes = {n: cs[n]["halo_bytes"] for n in cs}
+      for n in sorted(cs):
+          log(f"halo {gname} {n} dev: {cs[n]['n_edges']} edges "
+              f"(balance {balance[n]:.2f}, halo {cs[n]['halo_size']}"
+              f"/peer), {times[n] * 1e3:.1f} ms/step; overlap "
+              f"{times_ov[n] * 1e3:.1f} ms/step")
       effs = {n: n * times[1] / times[n] for n in times}
       effs_ov = {n: n * times_ov[1] / times_ov[n] for n in times_ov}
       log(f"halo {gname} weak-scaling program efficiency: "
@@ -293,11 +311,12 @@ def main_halo() -> None:
                  "powerlaw case — topology-independent overhead, at the "
                  "cost of replicated x). Virtual CPU devices time-share "
                  "the host: this isolates partition + collective "
-                 "overhead, not ICI. CAVEAT: the three variants run in "
-                 "separate phases minutes apart and host-load drift "
-                 "exceeds their differences — for the snake-vs-labelprop "
-                 "comparison use the interleaved bench_halo_ab.py "
-                 "artifact, not cross-phase ratios here"),
+                 "overhead, not ICI. All configs' timing reps are "
+                 "interleaved round-robin in one process (sequential-"
+                 "phase runs measured the same config anywhere in "
+                 "0.58-0.84 — drift exceeds the effects); "
+                 "bench_halo_ab.py additionally pairs snake-vs-"
+                 "labelprop back-to-back at 8 devices"),
     }))
 
 
