@@ -221,7 +221,8 @@ def main() -> None:
         return jnp.sum(xf)
 
     from tpugraph.ops.pallas_resident import (
-        resident_fits, spmm_stacked_resident, stack_bcsr,
+        resident_fits, spmm_pair_resident, spmm_stacked_resident,
+        stack_bcsr,
     )
 
     # resident chain emits bf16 via the in-kernel scratch-accumulator
@@ -238,6 +239,22 @@ def main() -> None:
             dxf = dx.astype(jnp.float32)
             scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
             return (dxf * scale).astype(jnp.bfloat16), ()
+
+        xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
+        return jnp.sum(xf.astype(jnp.float32))
+
+    # FUSED fwd+bwd pair: dx = A_t(A x) in ONE pallas_call (r5) — the
+    # per-call decomposition (bench_palcall_diag) showed ~104 us of
+    # grid-loop machinery per call, so halving the call count (and
+    # keeping y resident between phases) removes ~0.2 ms/iter.  The
+    # bench graphs are symmetric (A == A^T), so st serves both phases.
+    @partial(jax.jit, static_argnames=("k", "kp"))
+    def chained_pair(st, x, k, kp):
+        def body(xc, _):
+            dx = spmm_pair_resident(st, st, xc, k_pack=kp,
+                                    interpret=interp)
+            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
+            return (dx * scale).astype(jnp.bfloat16), ()
 
         xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
         return jnp.sum(xf.astype(jnp.float32))
@@ -585,6 +602,19 @@ def main() -> None:
         )
         res_eps = 2 * n_edges2 / t_res
 
+    # fused-pair chain: one pallas_call per fwd+bwd iteration.  kp is
+    # VMEM-bound here (two tile streams double-buffer alongside the
+    # resident x / y f32 / y bf16 / out buffers): kp=16 keeps the
+    # window at ~4 MB.
+    pair_eps = None
+    KP_PAIR = 16 if on_tpu else 4
+    if res_eps is not None and st2.num_tiles % KP_PAIR == 0:
+        t_pair, cks_pair = run(
+            f"resident-pair-powerlaw-kp{KP_PAIR}",
+            partial(chained_pair, kp=KP_PAIR), (st2, x2),
+        )
+        pair_eps = 2 * n_edges2 / t_pair
+
     # COO on the same graph — pad x to the BCSR node count for shape parity
     sd2 = jnp.asarray(s2o)
     rd2 = jnp.asarray(r2o)
@@ -598,10 +628,15 @@ def main() -> None:
     if res_eps is not None:
         rel_res = abs(cks_res - cks_rc) / (abs(cks_rc) + 1e-9)
         assert rel_res < 5e-2, "powerlaw resident/coo divergence"
+    if pair_eps is not None:
+        rel_pair = abs(cks_pair - cks_rc) / (abs(cks_rc) + 1e-9)
+        assert rel_pair < 5e-2, "powerlaw pair/coo divergence"
     real_coo_eps = 2 * n_edges2 / t_real_coo
     pl_candidates = {"dense-tile": real_eps, "edge-packets": pkt_eps}
     if res_eps is not None:
         pl_candidates["resident-stacked"] = res_eps
+    if pair_eps is not None:
+        pl_candidates["resident-pair"] = pair_eps
     pl_format = max(pl_candidates, key=pl_candidates.get)
     pl_best_eps = pl_candidates[pl_format]
     log(f"pallas real-topology: dense-tile {real_eps:.3e} "
@@ -635,6 +670,10 @@ def main() -> None:
                 "powerlaw_dense_tile_edges_per_s": real_eps,
                 "powerlaw_packets_edges_per_s": pkt_eps,
                 "powerlaw_resident_edges_per_s": res_eps,
+                # fused fwd+bwd pair (ONE pallas_call/iter; same math,
+                # same checksum — a propagation primitive, not usable
+                # inside loss-separated training steps)
+                "powerlaw_pair_edges_per_s": pair_eps,
                 "powerlaw_dense_pack_seconds": round(dense_pack_s, 1),
                 "powerlaw_packet_pack_seconds": round(pkt_pack_s, 1),
                 "powerlaw_resident_pack_seconds": (
