@@ -221,8 +221,8 @@ def main() -> None:
         return jnp.sum(xf)
 
     from tpugraph.ops.pallas_resident import (
-        resident_fits, spmm_pair_resident, spmm_stacked_resident,
-        stack_bcsr,
+        pack_pair, resident_fits, spmm_pair_resident,
+        spmm_stacked_resident, stack_bcsr,
     )
 
     # resident chain emits bf16 via the in-kernel scratch-accumulator
@@ -247,14 +247,15 @@ def main() -> None:
     # per-call decomposition (bench_palcall_diag) showed ~104 us of
     # grid-loop machinery per call, so halving the call count (and
     # keeping y resident between phases) removes ~0.2 ms/iter.  The
-    # bench graphs are symmetric (A == A^T), so st serves both phases.
+    # bench graphs are symmetric (A == A^T): pack_pair(st, st).
     @partial(jax.jit, static_argnames=("k", "kp"))
-    def chained_pair(st, x, k, kp):
+    def chained_pair(pr, x, k, kp):
         def body(xc, _):
-            dx = spmm_pair_resident(st, st, xc, k_pack=kp,
+            dx = spmm_pair_resident(pr, xc, k_pack=kp,
                                     interpret=interp)
-            scale = jax.lax.rsqrt(jnp.mean(dx * dx) + 1e-9)
-            return (dx * scale).astype(jnp.bfloat16), ()
+            dxf = dx.astype(jnp.float32)
+            scale = jax.lax.rsqrt(jnp.mean(dxf * dxf) + 1e-9)
+            return (dxf * scale).astype(jnp.bfloat16), ()
 
         xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
         return jnp.sum(xf.astype(jnp.float32))
@@ -602,16 +603,20 @@ def main() -> None:
         )
         res_eps = 2 * n_edges2 / t_res
 
-    # fused-pair chain: one pallas_call per fwd+bwd iteration.  kp is
-    # VMEM-bound here (two tile streams double-buffer alongside the
-    # resident x / y f32 / y bf16 / out buffers): kp=16 keeps the
-    # window at ~4 MB.
+    # fused-pair chain: one pallas_call per fwd+bwd iteration, ONE
+    # concatenated tile stream (kp is VMEM-bound alongside the resident
+    # x / shared f32 acc / y bf16 / out bf16 buffers; the single-stream
+    # shared-accumulator layout affords kp=128 — kp=16 measured
+    # 0.74 ms/iter slower and a two-stream kp=64 variant tied the
+    # 2-call chain: per-step cost binds below ~64 tiles/step, r5).
     pair_eps = None
-    KP_PAIR = 16 if on_tpu else 4
+    KP_PAIR = 128 if on_tpu else 4
     if res_eps is not None and st2.num_tiles % KP_PAIR == 0:
+        pr2 = pack_pair(st2, st2)
+        jax.block_until_ready(pr2.tiles)
         t_pair, cks_pair = run(
             f"resident-pair-powerlaw-kp{KP_PAIR}",
-            partial(chained_pair, kp=KP_PAIR), (st2, x2),
+            partial(chained_pair, kp=KP_PAIR), (pr2, x2),
         )
         pair_eps = 2 * n_edges2 / t_pair
 
@@ -691,10 +696,12 @@ def main() -> None:
                     "dma-only == full kernel"
                 ),
                 "powerlaw_binding": (
-                    "MXU dense-FLOP floor 3.51 ms/iter at ~80% + the "
-                    "same per-call overhead; int8 tile stream fully "
-                    "overlapped; hybrid dense+packet split refuted "
-                    "(8.84 vs 2.14 ns/edge)"
+                    "MXU dense-FLOP floor 3.51 ms/iter at ~80% + "
+                    "~204us/call (decomposed r5: ~110us grid machinery "
+                    "+ ~1.2us/MB resident traffic, "
+                    "palcall_decomp_r5.json); call fusion "
+                    "(resident-pair) recovers +1.5%; 1e9 bar retired "
+                    "— see BASELINE_MEASURED 'Round-5'"
                 ),
             }
         )

@@ -192,6 +192,7 @@ def test_spmm_pair_resident_matches_two_call_and_dense(rng):
     a non-symmetric adjacency and rectangular row/col padding."""
     from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
     from tpugraph.ops.pallas_resident import (
+        pack_pair,
         spmm_pair_resident,
         spmm_stacked_resident,
         stack_bcsr,
@@ -210,12 +211,18 @@ def test_spmm_pair_resident_matches_two_call_and_dense(rng):
     x = rng.standard_normal((st.num_nodes, d)).astype(np.float32)
     xb = jnp.asarray(x).astype(jnp.bfloat16)
 
-    dx = spmm_pair_resident(st, st_t, xb, k_pack=kp)
+    pr = pack_pair(st, st_t)
+    dx = spmm_pair_resident(pr, xb, k_pack=kp).astype(jnp.float32)
     # two-call reference with the same y-downcast dtype path
     y = spmm_stacked_resident(st, xb, k_pack=kp,
                               out_dtype=jnp.bfloat16)
     dx_ref = spmm_stacked_resident(st_t, y, k_pack=kp)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=2e-2, atol=0.3)
+    # f32 out variant matches too
+    dx32 = spmm_pair_resident(pr, xb, k_pack=kp,
+                              out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(dx32), np.asarray(dx_ref),
                                rtol=2e-2, atol=1e-2)
 
     # dense oracle: the (senders, receivers) convention makes the

@@ -352,70 +352,135 @@ def spmm_stacked_resident(
     )(m.rows, m.col_blk, m.tiles, x)
 
 
-def _pair_kernel_factory(k_pack: int, block: int, g1: int):
-    """Fused ``A_t @ (A @ x)`` kernel: phase 1 (grid steps < g1) streams
-    A's tiles and accumulates y in a resident f32 scratch; the phase
-    boundary downcasts y ONCE to a resident bf16 scratch; phase 2
-    streams A_t's tiles against it into the resident output.  The
-    concatenated rows/col prefetch tables index uniformly as
-    ``i * k_pack + j`` because phase 2's table offset (t1) equals
-    ``g1 * k_pack``."""
+class BCSRPair:
+    """Host-concatenated pair layout for :func:`spmm_pair_resident`:
+    A's and A_t's stack=1 tile streams back-to-back in ONE array, so the
+    fused kernel streams a single BlockSpec operand (no inactive-stream
+    fetches, and the tile window affords k_pack=128).  Build with
+    :func:`pack_pair`; for a symmetric adjacency pass the same stacked
+    BCSR twice (the concat is the one-time memory cost).
 
-    def kernel(rows_ref, col_ref, t1_ref, t2_ref, x_ref, out_ref,
-               yacc_ref, ybf_ref):
+    Pytree: arrays data; counts static."""
+
+    def __init__(self, tiles, col_blk, rows, t1, num_nodes,
+                 num_mid_nodes, num_out_nodes, block):
+        self.tiles = tiles
+        self.col_blk = col_blk
+        self.rows = rows
+        self.t1 = t1
+        self.num_nodes = num_nodes
+        self.num_mid_nodes = num_mid_nodes
+        self.num_out_nodes = num_out_nodes
+        self.block = block
+
+    def tree_flatten(self):
+        return ((self.tiles, self.col_blk, self.rows),
+                (self.t1, self.num_nodes, self.num_mid_nodes,
+                 self.num_out_nodes, self.block))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_tiles(self):
+        return self.tiles.shape[0]
+
+
+jax.tree_util.register_pytree_node(
+    BCSRPair, BCSRPair.tree_flatten, BCSRPair.tree_unflatten
+)
+
+
+def pack_pair(st: BCSRStacked, st_t: BCSRStacked) -> BCSRPair:
+    """Concatenate two stack=1 BCSRStacked operands (A then A_t) into
+    the single-stream :class:`BCSRPair` layout (one-time host/device
+    copy — 2 x the tile bytes)."""
+    assert st.stack == 1 and st_t.stack == 1
+    assert not st.packed4 and not st_t.packed4
+    assert st.block == st_t.block
+    assert st_t.num_nodes == st.num_row_nodes, "A_t columns must be A rows"
+    return BCSRPair(
+        tiles=jnp.concatenate([st.tiles, st_t.tiles]),
+        col_blk=jnp.concatenate([st.col_blk, st_t.col_blk]),
+        rows=jnp.concatenate([st.rows, st_t.rows]),
+        t1=st.num_tiles,
+        num_nodes=st.num_nodes,
+        num_mid_nodes=st.num_row_nodes,
+        num_out_nodes=st_t.num_row_nodes,
+        block=st.block,
+    )
+
+
+def _pair_kernel_factory(k_pack: int, block: int, g1: int,
+                         n_mid: int, n_out: int):
+    """Fused ``A_t @ (A @ x)`` kernel over ONE concatenated tile stream:
+    phase 1 (grid steps < g1) accumulates y in a resident f32 scratch;
+    the phase boundary downcasts y ONCE to a resident bf16 scratch and
+    re-zeroes the SAME f32 scratch, which phase 2 reuses as its
+    accumulator; the final step writes the narrow output operand once.
+    Reusing the accumulator keeps the resident budget at x + acc_f32 +
+    y_bf16 + out_bf16 (~84 MB at bench size) so a single stream affords
+    k_pack=128.  Measured on the way here (r5): k_pack=16 was
+    0.74 ms/iter SLOWER than the 2-call chain (per-grid-step cost ~0.3
+    us binds below ~64 tiles/step) and a TWO-stream kp=64 variant tied
+    it.  The concatenated rows/col prefetch tables index uniformly as
+    ``i * k_pack + j``."""
+
+    def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref,
+               acc_ref, ybf_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            yacc_ref[:] = jnp.zeros_like(yacc_ref)
-
-        @pl.when(i < g1)
-        def _():
-            base = i * k_pack
-            for j in range(k_pack):
-                tile = t1_ref[j]
-                if tile.dtype == jnp.int8:
-                    tile = tile.astype(jnp.bfloat16)
-                xv = x_ref[pl.ds(col_ref[base + j] * block, block), :]
-                if xv.dtype != tile.dtype:
-                    xv = xv.astype(tile.dtype)
-                acc = jnp.dot(tile, xv,
-                              preferred_element_type=jnp.float32)
-                r0 = rows_ref[base + j] * block
-                yacc_ref[pl.ds(r0, block), :] += acc
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         @pl.when(i == g1)
         def _():
             # one whole-array downcast at the phase boundary (the r4
             # lesson: a single resident downcast is cheap, per-tile
-            # casts put the VPU on the critical path)
-            ybf_ref[:] = yacc_ref[:].astype(jnp.bfloat16)
-            out_ref[:] = jnp.zeros_like(out_ref)
+            # casts put the VPU on the critical path), then reuse the
+            # f32 scratch as phase 2's accumulator
+            ybf_ref[:] = acc_ref[0:n_mid, :].astype(jnp.bfloat16)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def dots(src_ref):
+            base = i * k_pack
+            for j in range(k_pack):
+                tile = tiles_ref[j]
+                if tile.dtype == jnp.int8:
+                    tile = tile.astype(jnp.bfloat16)
+                v = src_ref[pl.ds(col_ref[base + j] * block, block), :]
+                if v.dtype != tile.dtype:
+                    v = v.astype(tile.dtype)
+                acc = jnp.dot(tile, v,
+                              preferred_element_type=jnp.float32)
+                r0 = rows_ref[base + j] * block
+                acc_ref[pl.ds(r0, block), :] += acc
+
+        @pl.when(i < g1)
+        def _():
+            dots(x_ref)
 
         @pl.when(i >= g1)
         def _():
-            base = i * k_pack
-            for j in range(k_pack):
-                tile = t2_ref[j]
-                if tile.dtype == jnp.int8:
-                    tile = tile.astype(jnp.bfloat16)
-                yv = ybf_ref[pl.ds(col_ref[base + j] * block, block), :]
-                acc = jnp.dot(tile, yv,
-                              preferred_element_type=jnp.float32)
-                r0 = rows_ref[base + j] * block
-                out_ref[pl.ds(r0, block), :] += acc
+            dots(ybf_ref)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[0:n_out, :].astype(out_ref.dtype)
 
     return kernel
 
 
 def spmm_pair_resident(
-    m: BCSRStacked,
-    m_t: BCSRStacked,
+    pair: BCSRPair,
     x: jax.Array,
-    k_pack: int = 16,
+    k_pack: int = 128,
     interpret: Optional[bool] = None,
+    out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """``dx = A^T @ (A @ x)`` in ONE ``pallas_call`` (VERDICT r4 item 3).
+    """``dx = A_t @ (A @ x)`` in ONE ``pallas_call`` (VERDICT r4 item 3).
 
     The per-call decomposition (``bench_palcall_diag.py``, r5) showed the
     resident chain's above-MXU-floor cost is ~104 us of multi-step-GRID
@@ -423,83 +488,70 @@ def spmm_pair_resident(
     ~110 us at grid>=2) plus ~1.2 us/MB of resident-buffer traffic —
     with 2 calls/iter that is the entire ~0.4 ms gap to the dense-FLOP
     floor.  Fusing the fwd+bwd pair halves the call count and keeps the
-    intermediate ``y`` in VMEM between phases (no writeback + reload):
-    grid = A's steps + A_t's steps, a one-step phase boundary downcasts
-    y to bf16, and the concatenated prefetch tables make both phases
-    index identically.
+    intermediate ``y`` in VMEM between phases (no writeback + reload).
 
     This is the propagation primitive ``A_t(A x)`` (power iteration /
     diffusion / the bench's chained fwd+bwd); it is NOT usable inside
-    training's fwd/bwd, which are separated by the loss.  ``stack`` must
-    be 1 for both operands; x is ``[num_nodes, D]`` (bf16 recommended),
-    output ``[m_t.num_row_nodes, D]`` f32.  Not differentiable (static
-    weights by construction).
-    """
+    training's fwd/bwd, which are separated by the loss.  Build ``pair``
+    with :func:`pack_pair`; x is ``[num_nodes, D]`` (bf16 recommended),
+    output ``[num_out_nodes, D]`` at ``out_dtype``.  Not differentiable
+    (static weights by construction)."""
     n, d = x.shape
-    assert m.stack == 1 and m_t.stack == 1, "pair kernel is stack=1 only"
-    assert not m.packed4 and not m_t.packed4
-    assert n == m.num_nodes, (n, m.num_nodes)
-    assert m_t.num_nodes == m.num_row_nodes, "m_t columns must be m rows"
+    assert n == pair.num_nodes, (n, pair.num_nodes)
     assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
-    b = m.block
-    assert m_t.block == b
-    t1, t2 = m.num_tiles, m_t.num_tiles
+    b = pair.block
+    t1 = pair.t1
+    t2 = pair.num_tiles - t1
     assert t1 % k_pack == 0 and t2 % k_pack == 0, (t1, t2, k_pack)
-    g1, g2 = t1 // k_pack, t2 // k_pack
-    n_mid = m.num_row_nodes
-    n_out = m_t.num_row_nodes
+    g1 = t1 // k_pack
+    g2 = t2 // k_pack
+    n_mid = pair.num_mid_nodes
+    n_out = pair.num_out_nodes
     if interpret is None:
         interpret = not _on_tpu()
 
-    win = 2 * tile_window_bytes_for(
-        k_pack, 1, b, jnp.dtype(m.tiles.dtype).itemsize
+    out_dtype = jnp.dtype(out_dtype)
+    n_acc = max(n_mid, n_out)
+    win = tile_window_bytes_for(
+        k_pack, 1, b, jnp.dtype(pair.tiles.dtype).itemsize
     )
-    # resident: x + y_acc f32 + y_bf16 + out f32
-    extra = n_mid * d * 4 + n_mid * d * 2 + n_out * d * 4
+    # resident: x + shared acc f32 + y_bf16 + out
+    extra = (n_acc * d * 4 + n_mid * d * 2
+             + n_out * d * out_dtype.itemsize)
     assert resident_fits(n, 0, d, x.dtype.itemsize,
                          tile_window_bytes=win + extra), (
-        f"pair-resident buffers exceed VMEM: x[{n},{d}] + y[{n_mid},{d}]"
-        f" f32+bf16 + out[{n_out},{d}]"
+        f"pair-resident buffers exceed VMEM: x[{n},{d}] + acc[{n_acc},"
+        f"{d}] f32 + y_bf16[{n_mid},{d}] + out[{n_out},{d}]"
     )
-
-    rows_all = jnp.concatenate([m.rows, m_t.rows])
-    col_all = jnp.concatenate([m.col_blk, m_t.col_blk])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g1 + g2,),
         in_specs=[
-            # phase-1 stream: frozen at its last block during phase 2
-            # (Mosaic skips the DMA when the block index is unchanged)
             pl.BlockSpec((k_pack, b, b),
-                         lambda i, rows, col: (jnp.minimum(i, g1 - 1),
-                                               0, 0)),
-            # phase-2 stream: pinned at block 0 until the boundary
-            pl.BlockSpec((k_pack, b, b),
-                         lambda i, rows, col: (jnp.maximum(i - g1, 0),
-                                               0, 0)),
+                         lambda i, rows, col: (i, 0, 0)),
             pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
         ],
         out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_mid, d), jnp.float32),
+            pltpu.VMEM((n_acc, d), jnp.float32),
             pltpu.VMEM((n_mid, d), jnp.bfloat16),
         ],
     )
-    tile_b = jnp.dtype(m.tiles.dtype).itemsize
+    tile_b = jnp.dtype(pair.tiles.dtype).itemsize
     return pl.pallas_call(
-        _pair_kernel_factory(k_pack, b, g1),
+        _pair_kernel_factory(k_pack, b, g1, n_mid, n_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * (t1 + t2) * b * b * d,
             bytes_accessed=(t1 + t2) * b * b * tile_b
-            + n * d * x.dtype.itemsize + n_out * d * 4,
+            + n * d * x.dtype.itemsize + n_out * d * out_dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(rows_all, col_all, m.tiles, m_t.tiles, x)
+    )(pair.rows, pair.col_blk, pair.tiles, x)
 
 
 def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
