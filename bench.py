@@ -349,7 +349,9 @@ def main() -> None:
         tpk = time.perf_counter()
         m_host8 = bcsr_from_coo(s, r, w, n, block=block,
                                 tile_dtype=jnp.int8, device=False)
-        st_b = stack_bcsr(m_host8, stack=1, k_pack=64)
+        # pad to 128 so BOTH the kp64 resident chain and the kp128
+        # fused-pair chain divide the tile count
+        st_b = stack_bcsr(m_host8, stack=1, k_pack=128)
         jax.block_until_ready(st_b.tiles)
         log(f"banded resident pack+stack+upload: "
             f"{time.perf_counter()-tpk:.1f}s ({st_b.num_tiles} stacks)")
@@ -360,7 +362,29 @@ def main() -> None:
         rel_rb = abs(cks_rb - cks_c) / (abs(cks_c) + 1e-9)
         assert rel_rb < 5e-2, "banded resident/coo divergence"
 
-    if t_res_banded is not None and t_res_banded < min(
+    # fused fwd+bwd pair on the banded graph (r5): the ~200us/call
+    # constant is a much LARGER fraction of the 0.79 ms banded iteration
+    # than of the 4.3 ms powerlaw one, so halving the call count pays
+    # proportionally more here
+    t_pair_banded = None
+    if t_res_banded is not None:
+        KPB = 128 if on_tpu else 4
+        if st_b.num_tiles % KPB == 0:
+            pr_b = pack_pair(st_b, st_b)
+            jax.block_until_ready(pr_b.tiles)
+            t_pair_banded, cks_pb = run(
+                f"resident-pair-banded-kp{KPB}",
+                partial(chained_pair, kp=KPB), (pr_b, x),
+            )
+            rel_pb = abs(cks_pb - cks_c) / (abs(cks_c) + 1e-9)
+            assert rel_pb < 5e-2, "banded pair/coo divergence"
+
+    if t_pair_banded is not None and t_pair_banded < min(
+        t_pallas, t_bf16 if t_bf16 is not None else t_pallas,
+        t_res_banded if t_res_banded is not None else t_pallas,
+    ):
+        headline_t, headline_cfg = t_pair_banded, "resident-pair-chain"
+    elif t_res_banded is not None and t_res_banded < min(
         t_pallas, t_bf16 if t_bf16 is not None else t_pallas
     ):
         headline_t, headline_cfg = t_res_banded, "resident-int8-chain"
@@ -373,11 +397,14 @@ def main() -> None:
     bf16_eps = 2 * num_edges / t_bf16 if t_bf16 is not None else None
     resb_eps = (2 * num_edges / t_res_banded
                 if t_res_banded is not None else None)
+    pairb_eps = (2 * num_edges / t_pair_banded
+                 if t_pair_banded is not None else None)
     coo_eps = 2 * num_edges / t_coo
     log(f"pallas best [{headline_cfg}]: {pallas_eps:.3e} edges/s "
         f"(f32 {f32_eps:.3e}"
         + (f", bf16 {bf16_eps:.3e}" if bf16_eps else "")
         + (f", resident {resb_eps:.3e}" if resb_eps else "")
+        + (f", pair {pairb_eps:.3e}" if pairb_eps else "")
         + f") ; coo: {coo_eps:.3e} edges/s")
 
     def roofline(m, t_iter, n_edges, tag, act_bytes=4):
@@ -663,6 +690,7 @@ def main() -> None:
                 "edges_per_s_f32_chain": f32_eps,
                 "edges_per_s_xbf16_chain": bf16_eps,
                 "edges_per_s_resident_chain": resb_eps,
+                "edges_per_s_pair_chain": pairb_eps,
                 "mfu_dense": round(banded_stats["mfu_dense"], 4),
                 "edge_frac_of_peak": round(
                     banded_stats["edge_frac_of_peak"], 4
