@@ -719,9 +719,11 @@ def main() -> None:
                 # BASELINE_MEASURED.md "Round-4"): neither chain is
                 # MXU- or RMW-bound
                 "banded_binding": (
-                    "fixed ~0.2 ms per pallas_call (x2/iter) + resident "
-                    "writeback; kp-invariant 24->2 grid steps, "
-                    "dma-only == full kernel"
+                    "~204us/call constant (decomposed r5: ~110us grid "
+                    "machinery + resident traffic) — the fused pair "
+                    "chain (1 call/iter) removes half of it: "
+                    "0.735 -> 0.672 ms/iter, +20% vs the r4 2-call "
+                    "headline"
                 ),
                 "powerlaw_binding": (
                     "MXU dense-FLOP floor 3.51 ms/iter at ~80% + "
