@@ -170,3 +170,31 @@ def test_train_node_bcsr_resident_path():
         np.asarray(out_s["history"]["loss"]),
         rtol=2e-2, atol=2e-3,
     )
+
+
+def test_att_model_trains_on_bcsr_path(rng):
+    """A GAT model with use_bcsr=True routes to BCSRAdj WITH a transpose
+    plan (tile-gradient path) instead of crashing at trace time, and
+    its loss trajectory matches the COO path (r5 fix: the static-weight
+    BCSRAdj(m, m_t) fast path has no attention-score gradients)."""
+    from tpugraph.core.graph import graph_from_dense
+    from tpugraph.nn import GcnEncoderNode
+    from tpugraph.train.loop import TrainConfig, train_node_classifier
+
+    n = 64
+    a = (rng.random((n, n)) < 0.1).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    feat = rng.standard_normal((g.num_nodes_padded, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, n)
+    model = GcnEncoderNode(input_dim=6, hidden_dim=8, embedding_dim=8,
+                           label_dim=3, num_layers=2, att=True)
+    cfg = TrainConfig(num_epochs=6, use_bcsr=True, bcsr_block=8,
+                      scan_chunk=3)
+    out = train_node_classifier(model, g, feat, labels, cfg, seed=0)
+    cfg_coo = TrainConfig(num_epochs=6, scan_chunk=3)
+    out_coo = train_node_classifier(model, g, feat, labels, cfg_coo,
+                                    seed=0)
+    np.testing.assert_allclose(out["history"]["loss"],
+                               out_coo["history"]["loss"], rtol=2e-3)

@@ -369,9 +369,9 @@ def train_node_classifier(
         else:
             t_probe, density, low_locality = 1, 1.0, False
 
+        model_att = bool(getattr(model, "att", False))
         fmt = resolve_bcsr_format(cfg, n_live, t_probe, density,
-                                  low_locality, on_tpu,
-                                  att=bool(getattr(model, "att", False)))
+                                  low_locality, on_tpu, att=model_att)
         # int8 tiles need exactly-integer weights; otherwise the resident
         # path quantizes to bf16 tiles — whose streamed window is 2x the
         # int8 one, so the VMEM gate must use the ACTUAL tile itemsize
@@ -382,7 +382,10 @@ def train_node_classifier(
             and np.abs(w_np).max(initial=0) <= 127
         )
         tile_itemsize = 1 if integral else 2
-        want_res = fmt == "tiles" and (
+        # attention needs tile gradients — StackedAdj/PacketAdj raise at
+        # trace time, so an att model always takes the BCSRAdj route
+        # (with a transpose plan, below)
+        want_res = fmt == "tiles" and not model_att and (
             cfg.bcsr_resident == "on"
             or (cfg.bcsr_resident == "auto" and on_tpu and low_locality
                 and resident_fits(
@@ -436,6 +439,18 @@ def train_node_classifier(
                 k_pack=kp_res,
             )
             new_n = m_host.num_nodes
+        elif model_att:
+            # GAT on the BCSR path needs tile gradients: attach the
+            # transpose plan so GraphConv routes through the
+            # differentiable sddmm_dw/bcsr_matvec_dw kernels (the plain
+            # m_t static-weights fast path has no score gradients — an
+            # att model would raise at trace time; r5 fix)
+            from tpugraph.ops.bcsr import bcsr_transpose_plan
+
+            m = bcsr_from_coo(s_np, r_np, w_np, n_pad,
+                              block=cfg.bcsr_block)
+            sp = BCSRAdj(m, None, tp=bcsr_transpose_plan(m))
+            new_n = m.num_nodes
         else:
             if cfg.bcsr_k_pack < 0:
                 kp = choose_k_pack_counts(
