@@ -233,3 +233,40 @@ def test_spmm_pair_resident_matches_two_call_and_dense(rng):
     dense = a_pad @ (a_pad.T @ xf)
     np.testing.assert_allclose(np.asarray(dx), dense, rtol=3e-2,
                                atol=0.5)
+
+
+def test_spmm_power_resident_matches_repeated_pairs(rng):
+    """(A_t A)^hops in one call == hops sequential pair applications
+    (same bf16 rounding points), incl. the hop_scale factor."""
+    from tpugraph.ops.bcsr import bcsr_from_coo, bcsr_transpose_host
+    from tpugraph.ops.pallas_resident import (
+        pack_pair,
+        spmm_pair_resident,
+        spmm_power_resident,
+        stack_bcsr,
+    )
+
+    n, b, d, kp = 64, 8, 128, 4
+    a = (rng.random((n, n)) < 0.15).astype(np.float32)
+    s, r = np.nonzero(a)
+    w = np.ones(len(s), np.float32)
+    m = bcsr_from_coo(s.astype(np.int32), r.astype(np.int32), w, n,
+                      block=b, tile_dtype=jnp.int8, device=False)
+    m_t = bcsr_transpose_host(s.astype(np.int32), r.astype(np.int32), w,
+                              n, block=b, tile_dtype=jnp.int8,
+                              device=False)
+    pr = pack_pair(stack_bcsr(m, 1, kp), stack_bcsr(m_t, 1, kp))
+    x = jnp.asarray(
+        (rng.standard_normal((pr.num_nodes, d)) * 0.1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    scale = 0.125
+    y3 = spmm_power_resident(pr, x, hops=3, k_pack=kp, hop_scale=scale)
+    ref = x
+    for _ in range(3):
+        ref = spmm_pair_resident(pr, ref, k_pack=kp)
+        ref = (ref.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(y3.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)), rtol=3e-2, atol=1e-3,
+    )

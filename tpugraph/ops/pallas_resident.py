@@ -554,6 +554,158 @@ def spmm_pair_resident(
     )(pair.rows, pair.col_blk, pair.tiles, x)
 
 
+def _power_kernel_factory(k_pack: int, block: int, g1: int, g2: int,
+                          n_mid: int, n_out: int, hops: int,
+                          hop_scale: float = 1.0):
+    """``(A_t A)^hops x`` in one grid: ``hops`` repetitions of the pair
+    schedule (phase 1 = A's tiles, phase 2 = A_t's), with ONE bf16
+    scratch serving alternately as the hop input and the mid buffer —
+    at each hop/phase boundary the f32 accumulator is downcast into it
+    and re-zeroed.  The tile stream simply repeats every
+    ``g1 + g2`` steps (index map modulo)."""
+    steps_per_hop = g1 + g2
+
+    def kernel(rows_ref, col_ref, tiles_ref, x_ref, out_ref,
+               acc_ref, ybf_ref):
+        i = pl.program_id(0)
+        h = i // steps_per_hop
+        j = i % steps_per_hop
+
+        @pl.when(j == 0)
+        def _():
+            @pl.when(h > 0)
+            def _():
+                # previous hop's result (scaled) becomes this hop's input
+                ybf_ref[0:n_out, :] = (
+                    acc_ref[0:n_out, :] * hop_scale
+                ).astype(jnp.bfloat16)
+
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(j == g1)
+        def _():
+            # phase boundary: mid result y replaces the hop input (phase
+            # 1 is done reading it)
+            ybf_ref[0:n_mid, :] = acc_ref[0:n_mid, :].astype(jnp.bfloat16)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def dots(src_ref):
+            base = j * k_pack
+            for jj in range(k_pack):
+                tile = tiles_ref[jj]
+                if tile.dtype == jnp.int8:
+                    tile = tile.astype(jnp.bfloat16)
+                v = src_ref[pl.ds(col_ref[base + jj] * block, block), :]
+                if v.dtype != tile.dtype:
+                    v = v.astype(tile.dtype)
+                acc = jnp.dot(tile, v,
+                              preferred_element_type=jnp.float32)
+                r0 = rows_ref[base + jj] * block
+                acc_ref[pl.ds(r0, block), :] += acc
+
+        @pl.when((h == 0) & (j < g1))
+        def _():
+            dots(x_ref)
+
+        @pl.when(jnp.logical_not((h == 0) & (j < g1)))
+        def _():
+            dots(ybf_ref)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = (acc_ref[0:n_out, :] * hop_scale).astype(
+                out_ref.dtype)
+
+    return kernel
+
+
+def spmm_power_resident(
+    pair: BCSRPair,
+    x: jax.Array,
+    hops: int,
+    k_pack: int = 128,
+    interpret: Optional[bool] = None,
+    out_dtype=jnp.bfloat16,
+    hop_scale: float = 1.0,
+) -> jax.Array:
+    """``(hop_scale * A_t A)^hops @ x`` in ONE ``pallas_call`` — the
+    SGC/APPNP-style
+    diffusion propagation primitive (no nonlinearity between hops), with
+    the ~200 us/call grid + resident constant amortized over ``hops``
+    fused fwd+bwd pairs.  For a symmetric adjacency
+    (``pack_pair(st, st)``) this is ``A^(2*hops) x``.
+
+    Intermediate hops round to bf16 (one downcast per phase, the r4
+    lesson); requires ``pair.num_out_nodes == pair.num_nodes`` so hops
+    compose.  ``hop_scale`` (static) rescales each hop's result at the
+    boundary downcast — pass ``1/spectral_radius(A_t A)``-ish (e.g.
+    ``1/deg**2`` for a unit-weight regular graph) to keep an
+    UN-normalized operator's powers inside bf16 range; a sym-normalized
+    adjacency needs no scale.  Like :func:`spmm_pair_resident` this is a STATIC-weights
+    propagation op (not differentiable, not usable inside
+    loss-separated training).
+    """
+    n, d = x.shape
+    assert hops >= 1
+    assert n == pair.num_nodes, (n, pair.num_nodes)
+    assert pair.num_out_nodes == n, "power iteration needs square pair"
+    assert d % LANES == 0, f"pad feature dim {d} to a multiple of {LANES}"
+    b = pair.block
+    t1 = pair.t1
+    t2 = pair.num_tiles - t1
+    assert t1 % k_pack == 0 and t2 % k_pack == 0, (t1, t2, k_pack)
+    g1, g2 = t1 // k_pack, t2 // k_pack
+    n_mid = pair.num_mid_nodes
+    n_out = pair.num_out_nodes
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    out_dtype = jnp.dtype(out_dtype)
+    n_acc = max(n_mid, n_out)
+    n_ybf = max(n_mid, n)
+    win = tile_window_bytes_for(
+        k_pack, 1, b, jnp.dtype(pair.tiles.dtype).itemsize
+    )
+    extra = (n_acc * d * 4 + n_ybf * d * 2
+             + n_out * d * out_dtype.itemsize)
+    assert resident_fits(n, 0, d, x.dtype.itemsize,
+                         tile_window_bytes=win + extra), (
+        f"power-resident buffers exceed VMEM: x[{n},{d}] + acc[{n_acc},"
+        f"{d}] f32 + ybf[{n_ybf},{d}] + out[{n_out},{d}]"
+    )
+
+    steps = g1 + g2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hops * steps,),
+        in_specs=[
+            pl.BlockSpec((k_pack, b, b),
+                         lambda i, rows, col: (i % steps, 0, 0)),
+            pl.BlockSpec((n, d), lambda i, rows, col: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_out, d), lambda i, rows, col: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_acc, d), jnp.float32),
+            pltpu.VMEM((n_ybf, d), jnp.bfloat16),
+        ],
+    )
+    tile_b = jnp.dtype(pair.tiles.dtype).itemsize
+    return pl.pallas_call(
+        _power_kernel_factory(k_pack, b, g1, g2, n_mid, n_out, hops,
+                              hop_scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=hops * 2 * (t1 + t2) * b * b * d,
+            bytes_accessed=hops * (t1 + t2) * b * b * tile_b
+            + n * d * x.dtype.itemsize + n_out * d * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(pair.rows, pair.col_blk, pair.tiles, x)
+
+
 def resident_fits(n: int, n_out: int, d: int, x_itemsize: int = 2,
                   slack_bytes: int = 8 * 2**20,
                   tile_window_bytes: int = 0) -> bool:
