@@ -260,6 +260,28 @@ def main() -> None:
         xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
         return jnp.sum(xf.astype(jnp.float32))
 
+    # multi-hop DIFFUSION primitive ((A_t A)^H x in one call,
+    # bench_power_diag r5): a different workload class (SGC/APPNP-style
+    # propagation, no nonlinearity between hops) — reported under its
+    # own diffusion_* keys, NOT the training-shaped headline
+    from tpugraph.ops.pallas_resident import spmm_power_resident
+
+    DIFF_H = 8
+    DIFF_SCALE = 1.0 / 1024.0  # 1/deg^2 keeps unit-weight powers bounded
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chained_power(pr, x, k):
+        def body(xc, _):
+            y = spmm_power_resident(pr, xc, hops=DIFF_H, k_pack=128,
+                                    interpret=interp,
+                                    hop_scale=DIFF_SCALE)
+            yf = y.astype(jnp.float32)
+            scale = jax.lax.rsqrt(jnp.mean(yf * yf) + 1e-9)
+            return (yf * scale).astype(jnp.bfloat16), ()
+
+        xf, _ = jax.lax.scan(body, x.astype(jnp.bfloat16), None, length=k)
+        return jnp.sum(xf.astype(jnp.float32))
+
     sd, rd, wd = jnp.asarray(s), jnp.asarray(r), jnp.asarray(w)
 
     @partial(jax.jit, static_argnames=("k",))
@@ -367,6 +389,7 @@ def main() -> None:
     # than of the 4.3 ms powerlaw one, so halving the call count pays
     # proportionally more here
     t_pair_banded = None
+    diff_banded_eps = None
     if t_res_banded is not None:
         KPB = 128 if on_tpu else 4
         if st_b.num_tiles % KPB == 0:
@@ -378,6 +401,9 @@ def main() -> None:
             )
             rel_pb = abs(cks_pb - cks_c) / (abs(cks_c) + 1e-9)
             assert rel_pb < 5e-2, "banded pair/coo divergence"
+            t_diff_b, _ = run(f"diffusion-banded-h{DIFF_H}",
+                              chained_power, (pr_b, x))
+            diff_banded_eps = 2 * num_edges * DIFF_H / t_diff_b
 
     if t_pair_banded is not None and t_pair_banded < min(
         t_pallas, t_bf16 if t_bf16 is not None else t_pallas,
@@ -637,6 +663,7 @@ def main() -> None:
     # 0.74 ms/iter slower and a two-stream kp=64 variant tied the
     # 2-call chain: per-step cost binds below ~64 tiles/step, r5).
     pair_eps = None
+    diff_pl_eps = None
     KP_PAIR = 128 if on_tpu else 4
     if res_eps is not None and st2.num_tiles % KP_PAIR == 0:
         pr2 = pack_pair(st2, st2)
@@ -646,6 +673,9 @@ def main() -> None:
             partial(chained_pair, kp=KP_PAIR), (pr2, x2),
         )
         pair_eps = 2 * n_edges2 / t_pair
+        t_diff_pl, _ = run(f"diffusion-powerlaw-h{DIFF_H}",
+                           chained_power, (pr2, x2))
+        diff_pl_eps = 2 * n_edges2 * DIFF_H / t_diff_pl
 
     # COO on the same graph — pad x to the BCSR node count for shape parity
     sd2 = jnp.asarray(s2o)
@@ -707,6 +737,11 @@ def main() -> None:
                 # same checksum — a propagation primitive, not usable
                 # inside loss-separated training steps)
                 "powerlaw_pair_edges_per_s": pair_eps,
+                # multi-hop DIFFUSION ((A_t A)^8 x in one call) — a
+                # separate workload class (SGC/APPNP propagation), NOT
+                # the training-shaped metric above
+                "diffusion_h8_banded_edges_per_s": diff_banded_eps,
+                "diffusion_h8_powerlaw_edges_per_s": diff_pl_eps,
                 "powerlaw_dense_pack_seconds": round(dense_pack_s, 1),
                 "powerlaw_packet_pack_seconds": round(pkt_pack_s, 1),
                 "powerlaw_resident_pack_seconds": (
