@@ -270,3 +270,45 @@ def test_spmm_power_resident_matches_repeated_pairs(rng):
         np.asarray(y3.astype(jnp.float32)),
         np.asarray(ref.astype(jnp.float32)), rtol=3e-2, atol=1e-3,
     )
+
+
+def test_diffuse_matches_dense_propagation(rng):
+    """ops.diffusion.diffuse == dense (S^T S)^H x with the sym-normalized
+    propagation matrix (SGC-style), through the fused power kernel."""
+    from tpugraph.core.graph import graph_from_dense
+    from tpugraph.ops.diffusion import DiffusionOperator, diffuse
+
+    n, d, hops = 48, 128, 3
+    a = (rng.random((n, n)) < 0.2).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    g = graph_from_dense(a)
+    x = (rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+
+    y = np.asarray(diffuse(g, jnp.asarray(x), hops, block=8).astype(
+        jnp.float32))
+
+    # dense oracle on the padded graph
+    n_pad = g.num_nodes_padded
+    a_pad = np.zeros((n_pad, n_pad), np.float32)
+    a_pad[:n, :n] = a
+    deg = a_pad.sum(1)
+    inv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    s_hat = a_pad * inv[:, None] * inv[None, :]
+    x_pad = np.zeros((n_pad, d), np.float32)
+    x_pad[:n] = x
+    ref = x_pad
+    for _ in range(hops):
+        ref = s_hat.T @ (s_hat @ ref)
+    # bf16 tiles + per-phase bf16 rounding: loose-ish tolerance
+    np.testing.assert_allclose(y, ref[:n], rtol=6e-2, atol=2e-2)
+
+    # un-normalized integer adjacency: hop_scale keeps powers bounded
+    op = DiffusionOperator(g, block=8, normalize=False)
+    x_p = jnp.zeros((op.num_nodes, d), jnp.float32).at[:n].set(
+        jnp.asarray(x))
+    y2 = np.asarray(op(x_p, 2).astype(jnp.float32))
+    ref2 = x_pad
+    for _ in range(2):
+        ref2 = (a_pad.T @ (a_pad @ ref2)) * op.hop_scale
+    np.testing.assert_allclose(y2[:n], ref2[:n], rtol=6e-2, atol=2e-2)
